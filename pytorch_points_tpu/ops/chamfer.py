@@ -1,0 +1,166 @@
+"""nndistance / Chamfer distance.
+
+Reference semantics (SURVEY.md §4.1, BASELINE.json:7): for clouds
+``p [B,N,3]`` and ``q [B,M,3]`` return per-point *squared* nearest-neighbor
+distances in both directions plus the argmin indices; the backward pass
+scatters gradients through the saved argmin pairs only (the argmin itself
+is treated as locally constant, exactly like the reference CUDA
+``NmDistanceGradKernel``).
+
+TPU-native design: the O(N*M) scan is an MXU matmul-form distance tile plus
+a VPU running argmin (Pallas kernel in kernels/distance_tiles.py); the
+backward is a deterministic XLA scatter-add (no atomics — bitwise
+reproducible, an improvement over the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_points_tpu.core.masking import BIG_DISTANCE, poison_points
+from pytorch_points_tpu.kernels import dispatch
+from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
+
+
+def _nn_one_direction_xla(p, q):
+    """[B,N,3],[B,M,3] -> (dist [B,N], idx [B,N]): NN of each p point in q."""
+    d = pairwise_sqdist(p, q)
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    dist = jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0]
+    # Recompute exactly (matmul-form d can differ at 1e-7 level); gather the
+    # argmin point and compute the true squared distance.
+    qsel = jnp.take_along_axis(q, idx[..., None], axis=-2)
+    diff = p - qsel
+    dist = jnp.sum(diff * diff, axis=-1)
+    return dist, idx
+
+
+def _nndistance_forward(p, q, impl):
+    impl = dispatch.resolve(impl, "chamfer")
+    if impl == "pallas":
+        from pytorch_points_tpu.kernels import distance_tiles
+
+        dist1, idx1 = distance_tiles.nn_one_direction(p, q)
+        dist2, idx2 = distance_tiles.nn_one_direction(q, p)
+    else:
+        dist1, idx1 = _nn_one_direction_xla(p, q)
+        dist2, idx2 = _nn_one_direction_xla(q, p)
+    return dist1, idx1, dist2, idx2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _nndistance(p, q, impl):
+    return _nndistance_forward(p, q, impl)
+
+
+def _nndistance_fwd(p, q, impl):
+    out = _nndistance_forward(p, q, impl)
+    dist1, idx1, dist2, idx2 = out
+    return out, (p, q, idx1, idx2)
+
+
+def _nndistance_bwd(impl, res, g):
+    del impl
+    p, q, idx1, idx2 = res
+    g1, _, g2, _ = g
+    i1 = idx1[..., None]
+    i2 = idx2[..., None]
+    # Direction 1: dist1[i] = |p[i] - q[idx1[i]]|^2
+    diff1 = p - jnp.take_along_axis(q, i1, axis=-2)  # [B,N,3]
+    gp = 2.0 * g1[..., None] * diff1
+    gq = jnp.zeros_like(q)
+    gq = gq.at[
+        jnp.arange(q.shape[0])[:, None, None],
+        idx1[..., None],
+        jnp.arange(3)[None, None, :],
+    ].add(-gp)
+    # Direction 2: dist2[j] = |q[j] - p[idx2[j]]|^2
+    diff2 = q - jnp.take_along_axis(p, i2, axis=-2)  # [B,M,3]
+    gq = gq + 2.0 * g2[..., None] * diff2
+    gp_scatter = jnp.zeros_like(p)
+    gp_scatter = gp_scatter.at[
+        jnp.arange(p.shape[0])[:, None, None],
+        idx2[..., None],
+        jnp.arange(3)[None, None, :],
+    ].add(-2.0 * g2[..., None] * diff2)
+    return gp + gp_scatter, gq
+
+
+_nndistance.defvjp(_nndistance_fwd, _nndistance_bwd)
+
+
+def nndistance(p, q, p_mask=None, q_mask=None, impl: str = "auto"):
+    """Bidirectional nearest-neighbor squared distances.
+
+    Args:
+      p: [B, N, 3] cloud.
+      q: [B, M, 3] cloud.
+      p_mask / q_mask: optional [B, N] / [B, M] bool validity masks
+        (True = real point).  Invalid points never win an argmin; their
+        output distances are 0 and their indices 0.
+      impl: "auto" | "pallas" | "xla".
+
+    Returns:
+      (dist1 [B,N], idx1 [B,N] int32, dist2 [B,M], idx2 [B,M] int32).
+    """
+    p = jnp.asarray(p)
+    q = jnp.asarray(q)
+    if p.ndim != 3 or q.ndim != 3:
+        raise ValueError(f"expected [B,N,C] clouds, got {p.shape} and {q.shape}")
+    if p_mask is None and q_mask is None:
+        return _nndistance(p, q, impl)
+    pp = poison_points(p, p_mask, sign=1.0)
+    qp = poison_points(q, q_mask, sign=-1.0)  # opposite side: mutually far
+    dist1, idx1, dist2, idx2 = _nndistance(pp, qp, impl)
+    if p_mask is not None:
+        dist1 = jnp.where(p_mask, dist1, 0.0)
+        idx1 = jnp.where(p_mask, idx1, 0)
+    if q_mask is not None:
+        dist2 = jnp.where(q_mask, dist2, 0.0)
+        idx2 = jnp.where(q_mask, idx2, 0)
+    # Clamp any residual poison distance (a valid point whose NN search saw
+    # only poisoned candidates cannot happen when masks are non-empty, but
+    # keep the output finite regardless).
+    dist1 = jnp.minimum(dist1, BIG_DISTANCE)
+    dist2 = jnp.minimum(dist2, BIG_DISTANCE)
+    return dist1, idx1, dist2, idx2
+
+
+def chamfer_distance(
+    p,
+    q,
+    p_mask=None,
+    q_mask=None,
+    *,
+    reduction: str = "mean",
+    one_sided: bool = False,
+    impl: str = "auto",
+):
+    """Chamfer distance between two clouds (squared-distance form).
+
+    ``mean`` averages each direction over the number of *valid* points then
+    sums the two directions — matching the reference ChamferLoss
+    (SURVEY.md §3.2 P2).
+    """
+    dist1, _, dist2, _ = nndistance(p, q, p_mask, q_mask, impl=impl)
+
+    def _reduce(d, mask):
+        if reduction == "none":
+            return d
+        if mask is None:
+            return jnp.mean(d, axis=-1) if reduction == "mean" else jnp.sum(d, -1)
+        s = jnp.sum(jnp.where(mask, d, 0.0), axis=-1)
+        if reduction == "sum":
+            return s
+        return s / jnp.maximum(jnp.sum(mask, axis=-1), 1)
+
+    loss1 = _reduce(dist1, p_mask)
+    if one_sided:
+        return jnp.mean(loss1) if reduction != "none" else loss1
+    loss2 = _reduce(dist2, q_mask)
+    if reduction == "none":
+        return loss1, loss2
+    return jnp.mean(loss1 + loss2)

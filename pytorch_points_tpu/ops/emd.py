@@ -1,0 +1,188 @@
+"""Auction-based Earth Mover's Distance.
+
+Reference semantics (SURVEY.md §4.5, BASELINE.json:10): approximate optimal
+1-to-1 assignment between two equal-size clouds via the Bertsekas auction
+algorithm (fixed iteration budget, eps-controlled bid increments); the loss
+is the per-point squared distance along the matched pairs, and the backward
+flows gradients along the matched pairs only (assignment treated as locally
+constant).
+
+TPU-native design: the auction runs as a single jitted ``lax.while_loop``
+with static shapes.  Per iteration, the O(N^2) part is a top-2 scan over the
+(benefit - price) matrix; the bid resolution is two O(N) scatter-max /
+scatter-min passes (deterministic — no atomics).  Any persons still
+unassigned when the iteration budget runs out are finished by a greedy
+cleanup loop (one assignment per step), so the result is always a complete
+permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
+
+_NEG = jnp.float32(-1e30)
+
+
+def _auction_xla(p, q, eps, max_iters):
+    b, n, _ = p.shape
+    d2 = pairwise_sqdist(p, q)  # [B, N(person), N(object)]
+    value = -d2
+    barange = jnp.arange(b)[:, None]
+    person_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    obj_ids = person_ids
+
+    def cond(state):
+        it, assign, _, _ = state
+        return jnp.logical_and(it < max_iters, jnp.any(assign < 0))
+
+    def body(state):
+        it, assign, owner, price = state
+        net = value - price[:, None, :]  # [B, N, N]
+        top2, top2_idx = jax.lax.top_k(net, 2)
+        v1 = top2[..., 0]
+        v2 = top2[..., 1]
+        target = top2_idx[..., 0].astype(jnp.int32)  # [B, N] object each person wants
+        bid = jnp.take_along_axis(price, target, axis=1) + (
+            v1 - v2
+        ) + eps
+        bidding = assign < 0
+        bid = jnp.where(bidding, bid, _NEG)
+        # Per-object max bid (deterministic scatter-max), then winner =
+        # lowest-index person achieving it.
+        best = jnp.full((b, n), _NEG).at[barange, target].max(bid)
+        my_best = jnp.take_along_axis(best, target, axis=1)
+        is_win = jnp.logical_and(bidding, bid >= my_best)
+        winner = (
+            jnp.full((b, n), n, dtype=jnp.int32)
+            .at[barange, target]
+            .min(jnp.where(is_win, person_ids, n))
+        )
+        has_bid = winner < n
+        winner_c = jnp.minimum(winner, n - 1)
+        # Objects with bids: bump price, evict previous owner, set new owner.
+        price = jnp.where(has_bid, best, price)
+        prev_owner = jnp.where(has_bid, owner, -1)
+        # Evict: persons listed in prev_owner (>=0) lose their object.
+        evict_slot = jnp.where(prev_owner >= 0, prev_owner, n)
+        assign = assign.at[barange, evict_slot].set(-1, mode="drop")
+        # Assign winners (each winning person bid on exactly one object).
+        winner_slot = jnp.where(has_bid, winner_c, n)
+        assign = assign.at[barange, winner_slot].set(obj_ids, mode="drop")
+        owner = jnp.where(has_bid, winner_c, owner)
+        return it + 1, assign, owner, price
+
+    init = (
+        jnp.int32(0),
+        jnp.full((b, n), -1, jnp.int32),  # person -> object
+        jnp.full((b, n), -1, jnp.int32),  # object -> person
+        jnp.zeros((b, n), jnp.float32),  # object prices
+    )
+    _, assign, owner, _ = jax.lax.while_loop(cond, body, init)
+
+    # Greedy cleanup: complete the permutation one assignment per step.
+    def c_cond(state):
+        _, assign, _ = state
+        return jnp.any(assign < 0)
+
+    def c_body(state):
+        it, assign, owner = state
+        unassigned_p = assign < 0  # [B, N]
+        pi = jnp.argmax(unassigned_p, axis=1).astype(jnp.int32)  # first unassigned
+        row = jnp.take_along_axis(value, pi[:, None, None], 1)[
+            :, 0, :
+        ]  # [B, N]
+        free_obj = owner < 0
+        masked = jnp.where(free_obj, row, _NEG)
+        oj = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        do = jnp.any(unassigned_p, axis=1)  # only act on unfinished batches
+        p_slot = jnp.where(do, pi, n)
+        o_slot = jnp.where(do, oj, n)
+        assign = assign.at[barange[:, 0], p_slot].set(oj, mode="drop")
+        owner = owner.at[barange[:, 0], o_slot].set(pi, mode="drop")
+        return it + 1, assign, owner
+
+    _, assign, owner = jax.lax.while_loop(c_cond, c_body, (jnp.int32(0), assign, owner))
+    return assign
+
+
+def _emd_forward(p, q, eps, max_iters, impl):
+    from pytorch_points_tpu.kernels import dispatch
+
+    resolved = dispatch.resolve(impl, "emd")
+    if resolved == "pallas":
+        try:
+            from pytorch_points_tpu.kernels import auction
+
+            return auction.auction_assignment(p, q, eps, max_iters)
+        except (ImportError, NotImplementedError):
+            pass
+    return _auction_xla(p, q, eps, max_iters)
+
+
+def _matched_sqdist(p, q, assign):
+    qsel = jnp.take_along_axis(q, assign[..., None], axis=1)
+    return jnp.sum((p - qsel) ** 2, axis=-1), qsel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _emd(p, q, eps, max_iters, impl):
+    assign = _emd_forward(p, q, eps, max_iters, impl)
+    dist, _ = _matched_sqdist(p, q, assign)
+    return dist, assign
+
+
+def _emd_fwd(p, q, eps, max_iters, impl):
+    assign = _emd_forward(p, q, eps, max_iters, impl)
+    dist, qsel = _matched_sqdist(p, q, assign)
+    return (dist, assign), (p, q, assign, qsel)
+
+
+def _emd_bwd(eps, max_iters, impl, res, g):
+    p, q, assign, qsel = res
+    g_dist, _ = g
+    diff = p - qsel
+    gp = 2.0 * g_dist[..., None] * diff
+    b, n, _ = p.shape
+    gq = jnp.zeros_like(q)
+    gq = gq.at[
+        jnp.arange(b)[:, None, None],
+        assign[..., None],
+        jnp.arange(3)[None, None, :],
+    ].add(-gp)
+    return gp, gq
+
+
+_emd.defvjp(_emd_fwd, _emd_bwd)
+
+
+def earth_mover_distance(
+    p,
+    q,
+    eps: float = 0.005,
+    max_iters: int = 50,
+    impl: str = "auto",
+):
+    """Auction-approximated EMD between paired equal-size clouds.
+
+    Args:
+      p: [B, N, 3] predicted cloud.
+      q: [B, N, 3] target cloud (same N).
+      eps: auction bid increment — smaller = closer to the optimal
+        assignment but more iterations to converge.
+      max_iters: auction iteration budget; leftover points are matched by a
+        greedy completion pass, so the assignment is always a permutation.
+
+    Returns:
+      (dist [B, N] squared distances along matched pairs,
+       assignment [B, N] int32 permutation: p[i] <-> q[assignment[i]]).
+    """
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    if p.shape != q.shape or p.ndim != 3:
+        raise ValueError(f"EMD needs equal-shape [B,N,3] clouds, got {p.shape} vs {q.shape}")
+    return _emd(p, q, float(eps), int(max_iters), impl)

@@ -1,0 +1,256 @@
+"""Neighborhood search and feature grouping.
+
+Reference semantics (SURVEY.md §3.1 N4/N5, §4.3):
+  * kNN: indices of the k nearest support points per query (ascending
+    distance, ties -> lowest index).
+  * ball query: the first ``nsample`` support points (in index order)
+    strictly within ``radius`` of each query; rows with fewer hits are
+    padded by repeating the first hit; rows with zero hits are all-zero
+    (PointNet++ CUDA semantics).
+  * group_points: gather features at a [B, P, S] index tensor; backward is
+    a scatter-add.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_points_tpu.core.masking import poison_points
+from pytorch_points_tpu.kernels import dispatch
+from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
+from pytorch_points_tpu.ops.sampling import furthest_point_sample, gather_points
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _knn_xla(query, support, k):
+    d = pairwise_sqdist(query, support)  # [B, Nq, Ns]
+    neg_d, idx = jax.lax.top_k(-d, k)  # stable: ties -> lowest index
+    return -neg_d, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "impl"))
+def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
+    """k nearest neighbors of each query point among the support points.
+
+    Args:
+      query: [B, Nq, C].
+      support: [B, Ns, C].
+      k: number of neighbors (static).
+      support_mask: optional [B, Ns] bool; invalid support points are never
+        returned (provided the cloud has >= k valid points).
+
+    Returns:
+      (dist [B, Nq, k] squared distances ascending, idx [B, Nq, k] int32).
+    """
+    support_p = poison_points(support, support_mask, sign=-1.0)
+    resolved = dispatch.resolve(impl, "knn")
+    if resolved == "pallas":
+        from pytorch_points_tpu.kernels import topk_scan
+
+        return topk_scan.knn(query, support_p, k)
+    return _knn_xla(query, support_p, k)
+
+
+def group_knn(k: int, query, support, support_features=None, support_mask=None,
+              unique: bool = True, impl: str = "auto"):
+    """Reference-style composite: kNN then group coordinates (and features).
+
+    Mirrors ``pytorch_points.network.operations.group_knn`` (SURVEY.md §3.2
+    P1) in channels-last layout.
+
+    Returns:
+      (grouped_xyz [B, Nq, k, 3], idx [B, Nq, k], dist [B, Nq, k])
+      or, with features, (grouped_features, idx, dist).
+    """
+    del unique  # distances from a metric are unique per index by construction
+    dist, idx = knn(query, support, k, support_mask=support_mask, impl=impl)
+    grouped = group_points(
+        support if support_features is None else support_features, idx
+    )
+    return grouped, idx, dist
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+
+def _ball_query_xla(xyz, centroids, radius, nsample, mask):
+    b, n, _ = xyz.shape
+    p = centroids.shape[1]
+    d2 = pairwise_sqdist(centroids, xyz)  # [B, P, N]
+    hit = d2 < jnp.float32(radius) ** 2
+    if mask is not None:
+        hit = hit & mask[:, None, :]
+    order = jnp.cumsum(hit, axis=-1) - 1  # 0-based hit order
+    cnt = jnp.minimum(order[..., -1] + 1, nsample)  # hits per row, capped
+    # Scatter the n-index of the j-th hit into slot j; overflow hits (order
+    # >= nsample) and misses go to a dumped extra slot.
+    slot = jnp.where(hit & (order < nsample), order, nsample)
+    out = jnp.zeros((b, p, nsample + 1), dtype=jnp.int32)
+    out = out.at[
+        jnp.arange(b)[:, None, None],
+        jnp.arange(p)[None, :, None],
+        slot,
+    ].set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, p, n)))
+    out = out[..., :nsample]
+    # Pad by repeating the first hit (rows with zero hits stay all-zero).
+    j = jnp.arange(nsample)[None, None, :]
+    out = jnp.where(j < jnp.maximum(cnt, 1)[..., None], out, out[..., :1])
+    return out, cnt.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "impl"))
+def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
+               impl: str = "auto"):
+    """Fixed-radius neighborhood query (PointNet++ semantics).
+
+    Args:
+      xyz: [B, N, 3] support cloud.
+      centroids: [B, P, 3] query centers.
+      radius: ball radius (strict ``d^2 < radius^2``).
+      nsample: max neighbors per center (static).
+      mask: optional [B, N] bool validity mask on the support cloud.
+
+    Returns:
+      (idx [B, P, nsample] int32, cnt [B, P] int32 actual hit counts,
+      capped at nsample).
+    """
+    xyz = jnp.asarray(xyz)
+    centroids = jnp.asarray(centroids)
+    resolved = dispatch.resolve(impl, "ball_query")
+    if resolved == "pallas":
+        from pytorch_points_tpu.kernels import ballquery as bq_kernel
+
+        return bq_kernel.ball_query(xyz, centroids, radius, nsample, mask)
+    return _ball_query_xla(xyz, centroids, radius, nsample, mask)
+
+
+# ---------------------------------------------------------------------------
+# group_points
+# ---------------------------------------------------------------------------
+
+
+def _group_forward(features, idx):
+    b, p, s = idx.shape
+    flat = idx.reshape(b, p * s)
+    g = jnp.take_along_axis(
+        features, flat[..., None], axis=1
+    )
+    return g.reshape(b, p, s, features.shape[-1])
+
+
+@jax.custom_vjp
+def _group(features, idx):
+    return _group_forward(features, idx)
+
+
+def _group_fwd(features, idx):
+    return _group_forward(features, idx), (idx, features.shape)
+
+
+def _group_bwd(res, g):
+    idx, shape = res
+    b, n, c = shape
+    p, s = idx.shape[1:]
+    flat_idx = idx.reshape(b, p * s)
+    flat_g = g.reshape(b, p * s, c)
+    grad = jnp.zeros(shape, dtype=g.dtype)
+    grad = grad.at[
+        jnp.arange(b)[:, None, None],
+        flat_idx[..., None],
+        jnp.arange(c)[None, None, :],
+    ].add(flat_g)
+    return grad, None
+
+
+_group.defvjp(_group_fwd, _group_bwd)
+
+
+def group_points(features, idx):
+    """Gather features at a neighborhood index tensor.
+
+    Args:
+      features: [B, N, C].
+      idx: [B, P, S] int32 indices into the N axis.
+
+    Returns:
+      [B, P, S, C]; backward is a deterministic scatter-add (reference:
+      group_points_grad_kernel with atomicAdd, SURVEY.md §3.1 N5).
+    """
+    features = jnp.asarray(features)
+    idx = jnp.asarray(idx).astype(jnp.int32)
+    return _group(features, idx)
+
+
+# ---------------------------------------------------------------------------
+# sample_and_group — the SA-layer front half (SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+
+def sample_and_group(
+    xyz,
+    features,
+    npoint: int,
+    nsample: int,
+    radius: float | None = None,
+    *,
+    use_xyz: bool = True,
+    normalize_radius: bool = False,
+    mask=None,
+    impl: str = "auto",
+):
+    """FPS -> (ball query | kNN) -> group -> center (+ optional normalize).
+
+    Args:
+      xyz: [B, N, 3] coordinates.
+      features: [B, N, C] features or None.
+      npoint: number of sampled centroids.
+      nsample: neighbors per centroid.
+      radius: ball-query radius; None selects kNN grouping.
+      use_xyz: concatenate the centered coordinates to the features.
+      normalize_radius: divide centered coords by radius (3PU convention).
+      mask: optional [B, N] support validity mask.
+
+    Returns:
+      (new_xyz [B, npoint, 3], new_features [B, npoint, nsample, C'],
+       idx [B, npoint, nsample], grouped_xyz [B, npoint, nsample, 3])
+    """
+    idx_fps = furthest_point_sample(xyz, npoint, mask=mask, impl=impl)
+    new_xyz = gather_points(xyz, idx_fps)
+    if radius is not None:
+        idx, _ = ball_query(xyz, new_xyz, radius, nsample, mask=mask, impl=impl)
+    else:
+        _, idx = knn(new_xyz, xyz, nsample, support_mask=mask, impl=impl)
+    grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
+    centered = grouped_xyz - new_xyz[:, :, None, :]
+    if normalize_radius and radius is not None:
+        centered = centered / radius
+    if features is not None:
+        grouped_features = group_points(features, idx)
+        if use_xyz:
+            new_features = jnp.concatenate([centered, grouped_features], axis=-1)
+        else:
+            new_features = grouped_features
+    else:
+        new_features = centered
+    return new_xyz, new_features, idx, grouped_xyz
+
+
+def group_all(xyz, features, *, use_xyz: bool = True):
+    """Degenerate SA grouping treating the whole cloud as one group."""
+    grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, 3]
+    if features is not None:
+        g = features[:, None, :, :]
+        new_features = jnp.concatenate([grouped_xyz, g], -1) if use_xyz else g
+    else:
+        new_features = grouped_xyz
+    new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+    return new_xyz, new_features, None, grouped_xyz

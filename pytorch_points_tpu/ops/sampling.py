@@ -1,0 +1,133 @@
+"""Furthest point sampling + gather.
+
+Reference semantics (SURVEY.md §4.2, BASELINE.json:8): iteratively select
+``k`` points maximizing the minimum distance to the already-selected set,
+seeded with index 0, tie-break = lowest index.  The selection must be
+index-identical to the reference (BASELINE.json:5), so all distance math is
+float32 and ties resolve via first-occurrence argmax.
+
+TPU-native design: the k-step loop is inherently serial; it runs as a
+single jitted ``lax.fori_loop`` (one compiled region — never k dispatches,
+mirroring the reference's single-kernel loop), with the per-step O(N)
+min-distance update + argmax on the VPU.  The Pallas variant
+(kernels/fps.py) keeps coordinates and the running min-distance resident in
+VMEM across all k steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_points_tpu.kernels import dispatch
+
+
+def _fps_xla(xyz, k, mask):
+    """Pure-XLA FPS. xyz [B,N,3] f32, mask [B,N] bool or None -> idx [B,k] i32."""
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    # Invalid points can never be selected: their running min-dist is -inf.
+    neg = jnp.float32(-jnp.inf)
+    init_mind = jnp.where(mask, jnp.float32(1e10), neg)
+
+    # First selected index: first valid point (index 0 when unmasked).
+    first = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+
+    def body(i, state):
+        mind, last, out = state
+        last_xyz = jnp.take_along_axis(
+            xyz, last[:, None, None], axis=1
+        )  # [B,1,3]
+        d = jnp.sum((xyz - last_xyz) ** 2, axis=-1)  # [B,N]
+        mind = jnp.minimum(mind, jnp.where(mask, d, neg))
+        nxt = jnp.argmax(mind, axis=-1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return mind, nxt, out
+
+    out0 = jnp.zeros((b, k), dtype=jnp.int32).at[:, 0].set(first)
+    _, _, out = jax.lax.fori_loop(1, k, body, (init_mind, first, out0))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "impl"))
+def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
+    """Select ``k`` furthest-point-sampled indices from each cloud.
+
+    Args:
+      xyz: [B, N, 3] float coordinates.
+      k: number of points to select (static).
+      mask: optional [B, N] bool validity mask.  Invalid points are never
+        selected.  If a cloud has fewer than ``k`` valid points the sampler
+        re-selects the point most distant from the selected set (which will
+        be a duplicate) — callers should bucket so k <= num_valid.
+      impl: "auto" | "pallas" | "xla".
+
+    Returns:
+      [B, k] int32 indices; column 0 is the first valid index (0 when
+      unmasked), matching the reference seeding.
+    """
+    xyz = jnp.asarray(xyz)
+    if xyz.ndim != 3:
+        raise ValueError(f"expected [B,N,3], got {xyz.shape}")
+    resolved = dispatch.resolve(impl, "fps")
+    if resolved == "pallas":
+        from pytorch_points_tpu.kernels import fps as fps_kernel
+
+        return fps_kernel.furthest_point_sample(xyz, k, mask)
+    return _fps_xla(xyz, k, mask)
+
+
+def _gather_forward(features, idx):
+    # features [B,N,C], idx [B,K] -> [B,K,C]
+    return jnp.take_along_axis(features, idx[..., None], axis=1)
+
+
+@jax.custom_vjp
+def _gather(features, idx):
+    return _gather_forward(features, idx)
+
+
+def _gather_fwd(features, idx):
+    return _gather_forward(features, idx), (idx, features.shape)
+
+
+def _gather_bwd(res, g):
+    idx, shape = res
+    b, n, c = shape
+    grad = jnp.zeros(shape, dtype=g.dtype)
+    grad = grad.at[
+        jnp.arange(b)[:, None, None],
+        idx[..., None],
+        jnp.arange(c)[None, None, :],
+    ].add(g)
+    return grad, None
+
+
+_gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_points(features, idx):
+    """Gather feature rows at the given indices.
+
+    Args:
+      features: [B, N, C] (channels-last; see compat module for the
+        reference's [B, C, N] layout).
+      idx: [B, K] int32 indices.
+
+    Returns:
+      [B, K, C]; backward is a deterministic scatter-add into the N axis
+      (reference: gather_points_kernel + atomicAdd grad, SURVEY.md §3.1 N3).
+    """
+    features = jnp.asarray(features)
+    idx = jnp.asarray(idx).astype(jnp.int32)
+    return _gather(features, idx)
+
+
+def furthest_point_sample_and_gather(xyz, k: int, mask=None, impl: str = "auto"):
+    """FPS then gather the sampled coordinates: returns (new_xyz [B,k,3], idx)."""
+    idx = furthest_point_sample(xyz, k, mask=mask, impl=impl)
+    return gather_points(xyz, idx), idx

@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before the first jax import (SURVEY.md §5 tier 4 — the
+TPU-world "multi-node without a real cluster" mechanism).
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS to the TPU tunnel ("axon");
+# tests run on the virtual-8-device CPU backend unless explicitly opted
+# into TPU with PPT_TEST_TPU=1 (used to validate kernels on real hardware).
+if os.environ.get("PPT_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+if os.environ.get("PPT_TEST_TPU") != "1":
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

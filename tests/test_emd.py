@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracles
+from pytorch_points_tpu.ops import earth_mover_distance
+
+
+def test_emd_is_permutation(rng):
+    p = rng.standard_normal((3, 64, 3), dtype=np.float32)
+    q = rng.standard_normal((3, 64, 3), dtype=np.float32)
+    dist, assign = earth_mover_distance(p, q, eps=0.01, max_iters=200)
+    a = np.asarray(assign)
+    for b in range(3):
+        assert sorted(a[b].tolist()) == list(range(64)), "not a permutation"
+    # dist really is the matched squared distance
+    want = np.stack(
+        [np.sum((p[b] - q[b][a[b]]) ** 2, -1) for b in range(3)]
+    )
+    np.testing.assert_allclose(np.asarray(dist), want, atol=1e-5, rtol=1e-5)
+
+
+def test_emd_near_optimal_tiny(rng):
+    p = rng.standard_normal((4, 6, 3), dtype=np.float32)
+    q = rng.standard_normal((4, 6, 3), dtype=np.float32)
+    dist, assign = earth_mover_distance(p, q, eps=0.0005, max_iters=2000)
+    cost = np.asarray(dist).sum(-1)
+    opt, _ = oracles.emd_optimal(p, q)
+    # auction with small eps: within n*eps of optimal
+    assert np.all(cost <= opt + 6 * 0.0005 + 1e-4), (cost, opt)
+
+
+def test_emd_identity(rng):
+    """Identical clouds must match 1-1 with ~zero cost."""
+    p = rng.standard_normal((2, 32, 3), dtype=np.float32)
+    dist, assign = earth_mover_distance(p, p.copy(), eps=1e-4, max_iters=2000)
+    cost = np.asarray(dist).sum(-1)
+    assert np.all(cost < 1e-3), cost
+
+
+def test_emd_grad_matched_pairs(rng):
+    p = rng.standard_normal((1, 8, 3), dtype=np.float32)
+    q = rng.standard_normal((1, 8, 3), dtype=np.float32)
+
+    def loss(p, q):
+        dist, _ = earth_mover_distance(p, q, eps=0.001, max_iters=500)
+        return jnp.sum(dist)
+
+    gp, gq = jax.grad(loss, argnums=(0, 1))(jnp.asarray(p), jnp.asarray(q))
+    _, assign = earth_mover_distance(p, q, eps=0.001, max_iters=500)
+    a = np.asarray(assign)[0]
+    want_gp = 2 * (p[0] - q[0][a])
+    np.testing.assert_allclose(np.asarray(gp)[0], want_gp, atol=1e-5, rtol=1e-5)
+    want_gq = np.zeros_like(q[0])
+    want_gq[a] = -want_gp
+    np.testing.assert_allclose(np.asarray(gq)[0], want_gq, atol=1e-5, rtol=1e-5)
+
+
+def test_emd_under_jit(rng):
+    p = rng.standard_normal((2, 16, 3), dtype=np.float32)
+    q = rng.standard_normal((2, 16, 3), dtype=np.float32)
+    f = jax.jit(lambda p, q: earth_mover_distance(p, q, eps=0.01, max_iters=100))
+    dist, assign = f(p, q)
+    assert dist.shape == (2, 16)
+    a = np.asarray(assign)
+    for b in range(2):
+        assert sorted(a[b].tolist()) == list(range(16))

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracles
+from pytorch_points_tpu.ops import (
+    ball_query,
+    group_knn,
+    group_points,
+    knn,
+    sample_and_group,
+)
+
+
+def test_knn_matches_oracle(rng):
+    q = rng.standard_normal((3, 45, 3), dtype=np.float32)
+    s = rng.standard_normal((3, 67, 3), dtype=np.float32)
+    dist, idx = knn(q, s, 5)
+    odist, oidx = oracles.knn(q, s, 5)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(dist), odist, atol=1e-5, rtol=1e-5)
+
+
+def test_knn_masked(rng):
+    q = rng.standard_normal((2, 20, 3), dtype=np.float32)
+    s = rng.standard_normal((2, 40, 3), dtype=np.float32)
+    mask = np.ones((2, 40), bool)
+    mask[:, 25:] = False
+    _, idx = knn(q, s, 4, support_mask=mask)
+    _, oidx = oracles.knn(q, s[:, :25], 4)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+def test_ball_query_matches_oracle(rng):
+    xyz = rng.uniform(-1, 1, size=(2, 128, 3)).astype(np.float32)
+    centroids = xyz[:, :16]
+    idx, cnt = ball_query(xyz, centroids, 0.4, 8)
+    oidx, ocnt = oracles.ball_query(xyz, centroids, 0.4, 8)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+
+
+def test_ball_query_zero_hits(rng):
+    xyz = np.ones((1, 10, 3), np.float32) * 5.0
+    centroids = np.zeros((1, 2, 3), np.float32)
+    idx, cnt = ball_query(xyz, centroids, 0.1, 4)
+    assert np.all(np.asarray(idx) == 0)
+    assert np.all(np.asarray(cnt) == 0)
+
+
+def test_ball_query_masked(rng):
+    xyz = rng.uniform(-1, 1, size=(2, 64, 3)).astype(np.float32)
+    mask = np.ones((2, 64), bool)
+    mask[:, 40:] = False
+    centroids = xyz[:, :8]
+    idx, cnt = ball_query(xyz, centroids, 0.5, 6, mask=mask)
+    oidx, ocnt = oracles.ball_query(xyz, centroids, 0.5, 6, mask=mask)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+
+
+def test_group_points_matches_oracle(rng):
+    feats = rng.standard_normal((2, 30, 6), dtype=np.float32)
+    idx = rng.integers(0, 30, size=(2, 10, 4)).astype(np.int32)
+    out = group_points(feats, idx)
+    np.testing.assert_allclose(
+        np.asarray(out), oracles.group_points(feats, idx), rtol=1e-6
+    )
+
+
+def test_group_points_grad_scatter_add(rng):
+    feats = rng.standard_normal((1, 12, 2), dtype=np.float32)
+    idx = rng.integers(0, 12, size=(1, 5, 3)).astype(np.int32)
+
+    def loss(f):
+        return jnp.sum(group_points(f, idx))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(feats)))
+    want = np.zeros_like(feats)
+    for p in range(5):
+        for s in range(3):
+            want[0, idx[0, p, s]] += 1.0
+    np.testing.assert_allclose(g, want, rtol=1e-6)
+
+
+def test_group_knn_composite(rng):
+    q = rng.standard_normal((2, 10, 3), dtype=np.float32)
+    s = rng.standard_normal((2, 30, 3), dtype=np.float32)
+    grouped, idx, dist = group_knn(4, q, s)
+    odist, oidx = oracles.knn(q, s, 4)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(
+        np.asarray(grouped), oracles.group_points(s, oidx), rtol=1e-6
+    )
+
+
+def test_sample_and_group_shapes_and_semantics(rng):
+    xyz = rng.uniform(-1, 1, size=(2, 128, 3)).astype(np.float32)
+    feats = rng.standard_normal((2, 128, 8), dtype=np.float32)
+    new_xyz, new_feats, idx, grouped_xyz = sample_and_group(
+        xyz, feats, npoint=16, nsample=8, radius=0.5
+    )
+    assert new_xyz.shape == (2, 16, 3)
+    assert new_feats.shape == (2, 16, 8, 11)  # 3 (xyz) + 8 features
+    assert idx.shape == (2, 16, 8)
+    # centered coords: grouped - centroid
+    fps_idx = oracles.furthest_point_sample(xyz, 16)
+    want_centroids = np.stack([xyz[b][fps_idx[b]] for b in range(2)])
+    np.testing.assert_allclose(np.asarray(new_xyz), want_centroids, rtol=1e-6)
+    oidx, _ = oracles.ball_query(xyz, want_centroids, 0.5, 8)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    centered = np.asarray(new_feats)[..., :3]
+    want_centered = oracles.group_points(xyz, oidx) - want_centroids[:, :, None, :]
+    np.testing.assert_allclose(centered, want_centered, atol=1e-6)
+
+
+def test_sample_and_group_knn_mode(rng):
+    xyz = rng.uniform(-1, 1, size=(1, 64, 3)).astype(np.float32)
+    new_xyz, new_feats, idx, _ = sample_and_group(
+        xyz, None, npoint=8, nsample=4, radius=None
+    )
+    assert new_feats.shape == (1, 8, 4, 3)
+    _, oidx = oracles.knn(np.asarray(new_xyz), xyz, 4)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
