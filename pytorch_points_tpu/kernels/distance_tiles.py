@@ -1,0 +1,163 @@
+"""Pallas streaming nearest-neighbor distance kernel (SURVEY.md §3.1 N1).
+
+The shared primitive behind chamfer (and the model for EMD/kNN tiles): for
+p [B,N,3], q [B,M,3], compute per-p-point min squared distance over q plus
+the argmin index, without ever materializing the [N, M] matrix in HBM.
+
+TPU mapping decisions (why this is not the CUDA design):
+  * The reference CUDA kernel gives one thread per p point scanning q in
+    shared-memory tiles.  Here a [tM, tN] distance tile is computed on the
+    VPU via broadcast differences — q coordinates vary along *sublanes*,
+    p coordinates along *lanes* — so the per-direction reduction
+    (min over q) is a sublane reduction landing in the natural [1, tN]
+    lane layout of the output.
+  * The MXU matmul form (|p|^2+|q|^2-2pq) is deliberately NOT used: the
+    contraction depth is 3, so the 128-deep systolic array would run at
+    ~2% utilization and f32 matmul costs 3 passes.  The VPU broadcast form
+    does ~9 flops/element at full vector width.
+  * M is streamed as the innermost grid dimension with a running
+    (min, argmin) carried in VMEM scratch across grid steps (the standard
+    Pallas TPU reduction idiom — Pallas double-buffers the q-chunk DMA).
+  * Tie-breaking: within a chunk, equal minima resolve to the lowest index
+    (iota + where + min); across chunks, strict ``<`` keeps the earlier
+    chunk — together: global lowest-index argmin, matching the XLA path
+    and the reference semantics.
+
+Fidelity: distances are exact f32 sums of squared differences — identical
+operations to the NumPy oracle, so values match to float rounding and
+indices match exactly (BASELINE.json:5 "distances within 1e-5,
+index-identical").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_points_tpu.core.masking import BIG_COORD
+from pytorch_points_tpu.kernels.dispatch import interpret_mode
+
+_IDX_SENTINEL = 2**30  # plain int: jnp scalars would be captured consts
+
+
+def _nn_kernel(pt_ref, qs_ref, out_d_ref, out_i_ref, accd, acci, *, tm):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        accd[:] = jnp.full_like(accd, jnp.inf)
+        acci[:] = jnp.zeros_like(acci)
+
+    q = qs_ref[0]  # [tM, 8] (coords in cols 0..2, zeros elsewhere)
+    p = pt_ref[0]  # [8, tN]
+    d = jnp.zeros((q.shape[0], p.shape[1]), jnp.float32)
+    for c in range(3):
+        diff = q[:, c : c + 1] - p[c : c + 1, :]  # [tM, tN] broadcast
+        d = d + diff * diff
+
+    m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
+    ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    cand = jnp.where(d == m, ii, _IDX_SENTINEL)
+    a = jnp.min(cand, axis=0, keepdims=True) + j * tm  # [1, tN]
+
+    better = m < accd[:]
+    accd[:] = jnp.where(better, m, accd[:])
+    acci[:] = jnp.where(better, a, acci[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_d_ref[0] = accd[:]
+        out_i_ref[0] = acci[:]
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _pad_points_poison(x, target_n):
+    """Pad [B,N,C] to [B,target_n,C] with far-away, mutually-distant coords."""
+    b, n, c = x.shape
+    if n == target_n:
+        return x
+    pad = target_n - n
+    offs = BIG_COORD * 4.0 + 8.0 * jnp.arange(pad, dtype=x.dtype)
+    poison = jnp.zeros((b, pad, c), x.dtype).at[:, :, 0].set(offs[None, :])
+    return jnp.concatenate([x, poison], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm"))
+def nn_one_direction(p, q, tn: int | None = None, tm: int | None = None):
+    """For each p point, (min squared distance over q, argmin index).
+
+    Args:
+      p: [B, N, 3] query cloud.
+      q: [B, M, 3] support cloud.
+      tn/tm: tile sizes (lanes over p / sublanes over q); auto-chosen.
+
+    Returns:
+      (dist [B, N] f32, idx [B, N] int32).
+    """
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    b, n, _ = p.shape
+    m = q.shape[1]
+
+    if tn is None:
+        tn = min(1024, _round_up(n, 128))
+    if tm is None:
+        tm = min(512, _round_up(m, 8))
+
+    n_pad = _round_up(n, tn)
+    m_pad = _round_up(m, tm)
+    # Padded p rows produce garbage outputs (sliced off); padded q points
+    # are poisoned so they never win an argmin.
+    pp = jnp.pad(p, ((0, 0), (0, n_pad - n), (0, 0)))
+    qp = _pad_points_poison(q, m_pad)
+
+    # p coord-major [B, 8, N'] (lane-broadcast side), q point-major
+    # [B, M', 8] (sublane-broadcast side); coord dim padded 3 -> 8 so the
+    # sublane dimension is aligned.
+    pt = jnp.transpose(
+        jnp.pad(pp, ((0, 0), (0, 0), (0, 5))), (0, 2, 1)
+    )  # [B, 8, N']
+    qs = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))  # [B, M', 8]
+
+    grid = (b, n_pad // tn, m_pad // tm)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_nn_kernel, tm=tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8), lambda bi, i, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # [B, 1, N'] so the trailing two block dims satisfy TPU layout
+            # rules (sublane dim equals the full array dim of 1).
+            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tn), jnp.float32),
+            pltpu.VMEM((1, tn), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * b * n_pad * m_pad,
+            bytes_accessed=4 * b * (8 * n_pad + 8 * m_pad + 2 * n_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(pt, qs)
+    return out_d[:, 0, :n], out_i[:, 0, :n]

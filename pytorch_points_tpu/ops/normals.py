@@ -9,6 +9,7 @@ needed), computed entirely on the VPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pytorch_points_tpu.ops.grouping import group_points, knn
@@ -82,7 +83,11 @@ def batch_normals(xyz, k: int = 20, mask=None, *, orient_outward: bool = False,
     nbrs = group_points(xyz, idx)  # [B, N, k, 3]
     centered = nbrs - jnp.mean(nbrs, axis=2, keepdims=True)
     cov = jnp.einsum(
-        "bnki,bnkj->bnij", centered, centered, preferred_element_type=jnp.float32
+        "bnki,bnkj->bnij",
+        centered,
+        centered,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / k
     normals = smallest_eigenvector_sym3x3(cov)
     if orient_outward:

@@ -10,6 +10,7 @@ streamed VMEM tiles.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,7 +29,14 @@ def pairwise_sqdist(p, q):
     q = jnp.asarray(q)
     p2 = jnp.sum(p * p, axis=-1)[..., :, None]
     q2 = jnp.sum(q * q, axis=-1)[..., None, :]
+    # precision=HIGHEST: TPU matmuls default to bf16 multiplicands, whose
+    # ~2^-8 relative error breaks the 1e-5 distance-fidelity bar and flips
+    # argmins (observed on hardware).  HIGHEST = 3-pass f32.
     cross = jnp.einsum(
-        "...nc,...mc->...nm", p, q, preferred_element_type=jnp.float32
+        "...nc,...mc->...nm",
+        p,
+        q,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.maximum(p2 + q2 - 2.0 * cross, 0.0)

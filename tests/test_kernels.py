@@ -1,0 +1,62 @@
+"""Pallas kernel vs oracle equivalence (SURVEY.md §5 tier 2).
+
+Runs in interpret mode on the CPU backend; the same tests execute compiled
+on real hardware via PPT_TEST_TPU=1.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import oracles
+from pytorch_points_tpu import kernels
+from pytorch_points_tpu.kernels import distance_tiles
+
+
+def test_available_kernels_import():
+    for name in kernels.AVAILABLE:
+        assert name in {"chamfer", "fps", "knn", "ball_query", "emd", "group"}
+
+
+@pytest.mark.parametrize(
+    "b,n,m",
+    [(1, 8, 8), (2, 150, 77), (1, 129, 257), (3, 64, 300)],
+)
+def test_nn_one_direction_matches_oracle(rng, b, n, m):
+    p = rng.standard_normal((b, n, 3), dtype=np.float32)
+    q = rng.standard_normal((b, m, 3), dtype=np.float32)
+    d, i = distance_tiles.nn_one_direction(p, q)
+    od, oi, _, _ = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, atol=1e-6, rtol=1e-6)
+
+
+def test_nn_tie_break_lowest_index(rng):
+    """Duplicate support points: argmin must pick the lowest index, even
+    across chunk boundaries."""
+    p = rng.standard_normal((1, 16, 3), dtype=np.float32)
+    base = rng.standard_normal((1, 8, 3), dtype=np.float32)
+    # q = three copies of the same 8 points -> every argmin has 3-way ties
+    q = np.concatenate([base, base, base], axis=1)
+    d, i = distance_tiles.nn_one_direction(p, q, tn=128, tm=8)
+    assert np.all(np.asarray(i) < 8), np.asarray(i)
+    od, oi, _, _ = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_nn_grad_through_public_op(rng):
+    """Backward through the pallas forward (indices saved by custom_vjp)."""
+    from pytorch_points_tpu.kernels import dispatch
+    from pytorch_points_tpu.ops import chamfer_distance
+
+    p = rng.standard_normal((1, 40, 3), dtype=np.float32)
+    q = rng.standard_normal((1, 30, 3), dtype=np.float32)
+    g_pallas = jax.grad(lambda p: chamfer_distance(p, q, impl="pallas"))(
+        jax.numpy.asarray(p)
+    )
+    g_xla = jax.grad(lambda p: chamfer_distance(p, q, impl="xla"))(
+        jax.numpy.asarray(p)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), atol=1e-6, rtol=1e-6
+    )
