@@ -60,3 +60,25 @@ def test_nn_grad_through_public_op(rng):
     np.testing.assert_allclose(
         np.asarray(g_pallas), np.asarray(g_xla), atol=1e-6, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("b,n,k", [(1, 128, 16), (3, 200, 32), (2, 300, 64)])
+def test_fps_kernel_matches_oracle(rng, b, n, k):
+    from pytorch_points_tpu.kernels import fps as fpsk
+
+    xyz = rng.standard_normal((b, n, 3), dtype=np.float32)
+    idx = fpsk.furthest_point_sample(xyz, k)
+    want = oracles.furthest_point_sample(xyz, k)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+def test_fps_kernel_masked_and_padded(rng):
+    from pytorch_points_tpu.kernels import fps as fpsk
+
+    xyz = rng.standard_normal((3, 150, 3), dtype=np.float32)
+    mask = np.ones((3, 150), bool)
+    mask[:, 100:] = False
+    mask[2, 0] = False
+    idx = fpsk.furthest_point_sample(xyz, 24, mask)
+    want = oracles.furthest_point_sample(xyz, 24, mask)
+    np.testing.assert_array_equal(np.asarray(idx), want)
