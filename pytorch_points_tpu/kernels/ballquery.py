@@ -1,0 +1,174 @@
+"""Pallas ball-query kernel (SURVEY.md §3.1 N4, BASELINE config 3).
+
+Semantics: for each query center, the indices of the first ``nsample``
+support points (in index order) strictly within ``radius``; rows pad by
+repeating the first hit; zero-hit rows are all zero — PointNet++ CUDA
+behavior, which the reference wraps.
+
+TPU mapping decisions:
+  * Same broadcast distance tile as the chamfer kernel (support along
+    sublanes, queries along lanes), streamed over support chunks.
+  * "Index of the s-th hit" is recovered without any serial scan: an
+    inclusive running hit-count C is computed per chunk with an MXU matmul
+    against a lower-triangular ones matrix (counts <= tM are exact in f32),
+    offset by a per-query carry; the s-th hit is then the min index where
+    ``hit & (C == s+1)`` — a pure VPU reduction, min-combined across
+    chunks.
+  * Early exit: once every query in the tile has nsample hits, remaining
+    chunks skip all compute (the scan is index-ordered, so later chunks
+    cannot change the result).
+
+The XLA fallback materializes the full [B, P, N] hit matrix (8.6 GB at the
+graded config) — this kernel never materializes more than one
+[tM, tP] tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_points_tpu.core.masking import BIG_COORD
+from pytorch_points_tpu.kernels.dispatch import interpret_mode
+
+_IDX_BIG = 2**30
+
+
+def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
+               *, r2, tm, ns):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_s[:] = jnp.zeros_like(cnt_s)
+        idx_s[:] = jnp.full_like(idx_s, _IDX_BIG)
+
+    # Later chunks can't contribute once every query in the tile is full.
+    not_done = jnp.min(cnt_s[:]) < ns
+
+    @pl.when(not_done)
+    def _():
+        sup = sup_ref[0]  # [tM, 8]
+        qry = qry_ref[0]  # [8, tP]
+        d2 = jnp.zeros((sup.shape[0], qry.shape[1]), jnp.float32)
+        for c in range(3):
+            diff = sup[:, c : c + 1] - qry[c : c + 1, :]
+            d2 = d2 + diff * diff
+        hit = d2 < r2
+        hitf = hit.astype(jnp.float32)
+
+        # Inclusive cumulative hit count along the support axis via MXU:
+        # L[a, b] = 1 if a >= b (lower-triangular incl. diagonal).
+        ia = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+        ltri = (ia >= ib).astype(jnp.float32)
+        cs = jax.lax.dot_general(
+            ltri, hitf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tM, tP], counts <= tM: exact in f32
+        cfull = cs + cnt_s[:]  # [tM, tP] 1-based hit order
+
+        im = jax.lax.broadcasted_iota(jnp.int32, (tm, qry.shape[1]), 0) + j * tm
+        for s in range(ns):  # static unroll; ns is small (<=64)
+            cand = jnp.where(
+                jnp.logical_and(hit, cfull == float(s + 1)), im, _IDX_BIG
+            )
+            cmin = jnp.min(cand, axis=0, keepdims=True)  # [1, tP]
+            idx_s[s : s + 1, :] = jnp.minimum(idx_s[s : s + 1, :], cmin)
+        cnt_s[:] = cnt_s[:] + jnp.sum(hitf, axis=0, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_idx_ref[0] = idx_s[:]
+        out_cnt_ref[0] = jnp.minimum(cnt_s[:], float(ns)).astype(jnp.int32)
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _pad_points_poison(x, target_n):
+    b, n, c = x.shape
+    if n == target_n:
+        return x
+    pad = target_n - n
+    offs = BIG_COORD * 4.0 + 8.0 * jnp.arange(pad, dtype=x.dtype)
+    poison = jnp.zeros((b, pad, c), x.dtype).at[:, :, 0].set(offs[None, :])
+    return jnp.concatenate([x, poison], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tp", "tm"))
+def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
+               tp: int | None = None, tm: int | None = None):
+    """[B,N,3] support, [B,P,3] centers -> (idx [B,P,nsample], cnt [B,P])."""
+    from pytorch_points_tpu.core.masking import poison_points
+
+    xyz = jnp.asarray(xyz, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    b, n, _ = xyz.shape
+    p = centroids.shape[1]
+
+    if tp is None:
+        tp = min(512, _round_up(p, 128))
+    if tm is None:
+        tm = min(256, _round_up(n, 8))
+    ns_pad = _round_up(nsample, 8)
+
+    p_pad = _round_up(p, tp)
+    m_pad = _round_up(n, tm)
+    sup = poison_points(xyz, mask, sign=-1.0)
+    sup = _pad_points_poison(sup, m_pad)
+    # Pad queries by edge replication: padded queries then fill exactly when
+    # the last real query fills, keeping the early-exit condition honest.
+    qry = jnp.pad(centroids, ((0, 0), (0, p_pad - p), (0, 0)), mode="edge")
+
+    qry_t = jnp.transpose(jnp.pad(qry, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    sup_s = jnp.pad(sup, ((0, 0), (0, 0), (0, 5)))
+
+    grid = (b, p_pad // tp, m_pad // tm)
+    out_idx, out_cnt = pl.pallas_call(
+        functools.partial(
+            _bq_kernel, r2=float(radius) ** 2, tm=tm, ns=ns_pad
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, tp), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8), lambda bi, i, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ns_pad, tp), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tp), jnp.float32),
+            pltpu.VMEM((ns_pad, tp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(9 + 3 * ns_pad) * b * p_pad * m_pad
+            + 2 * b * (p_pad // tp) * (m_pad // tm) * tm * tm * tp,
+            bytes_accessed=4 * b * (8 * p_pad + 8 * m_pad + ns_pad * p_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(qry_t, sup_s)
+
+    idx = jnp.transpose(out_idx[:, :nsample, :p], (0, 2, 1))  # [B, P, ns]
+    cnt = jnp.minimum(out_cnt[:, 0, :p], nsample)  # kernel caps at ns_pad
+    # Pad-by-first-hit; zero-hit rows all zero.
+    first = idx[..., :1]
+    first = jnp.where(first == _IDX_BIG, 0, first)
+    idx = jnp.where(idx == _IDX_BIG, first, idx)
+    return idx, cnt

@@ -82,3 +82,36 @@ def test_fps_kernel_masked_and_padded(rng):
     idx = fpsk.furthest_point_sample(xyz, 24, mask)
     want = oracles.furthest_point_sample(xyz, 24, mask)
     np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+@pytest.mark.parametrize(
+    "b,n,p,r,ns",
+    [(1, 128, 16, 0.5, 8), (2, 300, 40, 0.4, 8), (1, 200, 30, 0.3, 20)],
+)
+def test_ball_query_kernel_matches_oracle(rng, b, n, p, r, ns):
+    from pytorch_points_tpu.kernels import ballquery as bqk
+
+    xyz = rng.uniform(-1, 1, size=(b, n, 3)).astype(np.float32)
+    cen = xyz[:, :p]
+    idx, cnt = bqk.ball_query(xyz, cen, r, ns)
+    oidx, ocnt = oracles.ball_query(xyz, cen, r, ns)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+
+
+def test_ball_query_kernel_masked_and_zero_hits(rng):
+    from pytorch_points_tpu.kernels import ballquery as bqk
+
+    xyz = rng.uniform(-1, 1, size=(2, 300, 3)).astype(np.float32)
+    mask = np.ones((2, 300), bool)
+    mask[:, 200:] = False
+    # two far-away centers -> zero hits -> all-zero rows
+    cen = np.concatenate(
+        [xyz[:, :10], np.full((2, 2, 3), 9.0, np.float32)], axis=1
+    )
+    idx, cnt = bqk.ball_query(xyz, cen, 0.3, 16, mask=mask)
+    oidx, ocnt = oracles.ball_query(xyz, cen, 0.3, 16, mask=mask)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    assert np.all(np.asarray(idx)[:, 10:] == 0)
+    assert np.all(np.asarray(cnt)[:, 10:] == 0)
