@@ -110,18 +110,17 @@ def _auction_xla(p, q, eps, max_iters):
     return assign
 
 
-def _emd_forward(p, q, eps, max_iters, impl):
+def _emd_forward(p, q, eps, max_iters, phases, impl):
     from pytorch_points_tpu.kernels import dispatch
 
     resolved = dispatch.resolve(impl, "emd")
     if resolved == "pallas":
-        try:
-            from pytorch_points_tpu.kernels import auction
+        from pytorch_points_tpu.kernels import auction
 
-            return auction.auction_assignment(p, q, eps, max_iters)
-        except (ImportError, NotImplementedError):
-            pass
-    return _auction_xla(p, q, eps, max_iters)
+        return auction.auction_assignment(p, q, eps, max_iters, phases=phases)
+    # XLA fallback ignores eps-scaling (single flat-eps run + greedy
+    # completion) — correctness path only.
+    return _auction_xla(p, q, eps, max_iters * phases)
 
 
 def _matched_sqdist(p, q, assign):
@@ -129,20 +128,20 @@ def _matched_sqdist(p, q, assign):
     return jnp.sum((p - qsel) ** 2, axis=-1), qsel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _emd(p, q, eps, max_iters, impl):
-    assign = _emd_forward(p, q, eps, max_iters, impl)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _emd(p, q, eps, max_iters, phases, impl):
+    assign = _emd_forward(p, q, eps, max_iters, phases, impl)
     dist, _ = _matched_sqdist(p, q, assign)
     return dist, assign
 
 
-def _emd_fwd(p, q, eps, max_iters, impl):
-    assign = _emd_forward(p, q, eps, max_iters, impl)
+def _emd_fwd(p, q, eps, max_iters, phases, impl):
+    assign = _emd_forward(p, q, eps, max_iters, phases, impl)
     dist, qsel = _matched_sqdist(p, q, assign)
     return (dist, assign), (p, q, assign, qsel)
 
 
-def _emd_bwd(eps, max_iters, impl, res, g):
+def _emd_bwd(eps, max_iters, phases, impl, res, g):
     p, q, assign, qsel = res
     g_dist, _ = g
     diff = p - qsel
@@ -165,6 +164,7 @@ def earth_mover_distance(
     q,
     eps: float = 0.005,
     max_iters: int = 50,
+    phases: int = 4,
     impl: str = "auto",
 ):
     """Auction-approximated EMD between paired equal-size clouds.
@@ -174,8 +174,13 @@ def earth_mover_distance(
       q: [B, N, 3] target cloud (same N).
       eps: auction bid increment — smaller = closer to the optimal
         assignment but more iterations to converge.
-      max_iters: auction iteration budget; leftover points are matched by a
-        greedy completion pass, so the assignment is always a permutation.
+      max_iters: per-phase auction iteration budget; leftover points are
+        matched by a greedy nearest-free completion pass, so the assignment
+        is always a permutation.
+      phases: eps-scaling phases (phase k bids with eps*6^(phases-1-k),
+        finishing at eps); >1 converges far faster for the same quality.
+        The Pallas path honors this; the XLA fallback runs a single flat-eps
+        auction with the combined budget.
 
     Returns:
       (dist [B, N] squared distances along matched pairs,
@@ -185,4 +190,4 @@ def earth_mover_distance(
     q = jnp.asarray(q, jnp.float32)
     if p.shape != q.shape or p.ndim != 3:
         raise ValueError(f"EMD needs equal-shape [B,N,3] clouds, got {p.shape} vs {q.shape}")
-    return _emd(p, q, float(eps), int(max_iters), impl)
+    return _emd(p, q, float(eps), int(max_iters), int(phases), impl)

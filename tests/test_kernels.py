@@ -115,3 +115,37 @@ def test_ball_query_kernel_masked_and_zero_hits(rng):
     np.testing.assert_array_equal(np.asarray(cnt), ocnt)
     assert np.all(np.asarray(idx)[:, 10:] == 0)
     assert np.all(np.asarray(cnt)[:, 10:] == 0)
+
+
+def test_auction_kernel_permutation_and_quality(rng):
+    from pytorch_points_tpu.kernels import auction
+
+    p = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    q = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    a = np.asarray(auction.auction_assignment(p, q, 0.01, 500, ti=128))
+    for b in range(2):
+        assert sorted(a[b].tolist()) == list(range(128))
+
+
+def test_auction_kernel_optimal_tiny(rng):
+    from pytorch_points_tpu.kernels import auction
+
+    p = rng.standard_normal((3, 6, 3)).astype(np.float32)
+    q = rng.standard_normal((3, 6, 3)).astype(np.float32)
+    a = np.asarray(auction.auction_assignment(p, q, 0.0005, 3000, ti=128))
+    opt, _ = oracles.emd_optimal(p, q)
+    cost = np.array([np.sum((p[b] - q[b][a[b]]) ** 2) for b in range(3)])
+    assert np.all(cost <= opt + 6 * 0.0005 + 1e-4), (cost, opt)
+
+
+def test_auction_kernel_eps_scaling_and_padding(rng):
+    from pytorch_points_tpu.kernels import auction
+
+    # N=100 forces padding to 128 with twin poison pairs
+    p = rng.standard_normal((2, 100, 3)).astype(np.float32)
+    q = rng.standard_normal((2, 100, 3)).astype(np.float32)
+    a = np.asarray(
+        auction.auction_assignment(p, q, 0.005, 100, ti=128, phases=3)
+    )
+    for b in range(2):
+        assert sorted(a[b].tolist()) == list(range(100))
