@@ -1,0 +1,137 @@
+"""Benchmark harness — the five BASELINE.json configs on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric (clouds/sec, FPS+group+Chamfer fwd+bwd at B=32, N=16k —
+BASELINE.json:2), plus a "details" dict with every graded config.
+
+vs_baseline is 1.0 by definition: the reference publishes no numbers
+(BASELINE.json:13 "published": {}), so this framework's measured absolute
+throughput IS the recorded baseline.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_points_tpu as ppt
+    from pytorch_points_tpu.kernels import ballquery as bqk
+    from pytorch_points_tpu.kernels import fps as fpsk
+    from pytorch_points_tpu.ops.grouping import group_points
+    from pytorch_points_tpu.ops.sampling import gather_points
+    from pytorch_points_tpu.utils.benchmark import measure
+
+    rng = np.random.default_rng(0)
+    details = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+
+    # --- Headline: FPS (16k->2048) + group (r=0.2, ns=32) + Chamfer
+    # fwd+bwd, B=32, N=16384 (BASELINE.json:2,5) --------------------------
+    B, N, P = 32, 16384, 2048
+    gt = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    pred = jnp.asarray(
+        rng.uniform(-1, 1, (B, N, 3)) * 0.98 + 0.01, jnp.float32
+    )
+
+    def headline(pred, gt):
+        def loss(pred):
+            idx = fpsk.furthest_point_sample(pred, P)
+            cen = gather_points(pred, idx)
+            nidx, _ = bqk.ball_query(pred, cen, 0.2, 32)
+            grouped = group_points(pred, nidx)
+            centered = grouped - cen[:, :, None, :]
+            reg = jnp.mean(centered**2)
+            # tiny but non-zero weight so XLA cannot DCE the group pipeline
+            return ppt.chamfer_distance(pred, gt) + 1e-6 * reg
+
+        l, g = jax.value_and_grad(loss)(pred)
+        return l, g
+
+    t = measure(jax.jit(headline), pred, gt, iters=5)
+    clouds_per_sec = B / t
+    details["headline_fps_group_chamfer_B32_N16k"] = {
+        "ms": round(t * 1e3, 2),
+        "clouds_per_sec": round(clouds_per_sec, 1),
+    }
+
+    # --- Config 1: chamfer fwd+bwd B=8 N=1024 (CPU-runnable) ------------
+    p1 = jnp.asarray(rng.standard_normal((8, 1024, 3)), jnp.float32)
+    q1 = jnp.asarray(rng.standard_normal((8, 1024, 3)), jnp.float32)
+    f1 = jax.jit(jax.value_and_grad(lambda p: ppt.chamfer_distance(p, q1)))
+    details["config1_chamfer_B8_N1024_ms"] = round(measure(f1, p1) * 1e3, 3)
+
+    # --- Config 2: FPS 16384->2048, B=16 --------------------------------
+    x2 = gt[:16]
+    f2 = jax.jit(lambda x: fpsk.furthest_point_sample(x, 2048))
+    details["config2_fps_B16_16k_to_2048_ms"] = round(measure(f2, x2) * 1e3, 2)
+
+    # --- Config 3: ball_query + group on FPS centroids ------------------
+    def cfg3(x):
+        idx = fpsk.furthest_point_sample(x, 2048)
+        cen = gather_points(x, idx)
+        nidx, _ = bqk.ball_query(x, cen, 0.2, 32)
+        return group_points(x, nidx)
+
+    details["config3_bq_group_B16_N16k_ms"] = round(
+        measure(jax.jit(cfg3), x2) * 1e3, 2
+    )
+
+    # --- Config 4: auction EMD B=32 N=2048 ------------------------------
+    p4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)
+    q4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)
+    f4 = jax.jit(
+        lambda p, q: ppt.earth_mover_distance(p, q, eps=0.005, max_iters=50,
+                                              phases=4)[0]
+    )
+    details["config4_emd_B32_N2048_ms"] = round(measure(f4, p4, q4) * 1e3, 1)
+
+    # --- Config 5: full SA+FP stack training step with Chamfer+EMD ------
+    import optax
+    from flax import nnx
+
+    from pytorch_points_tpu.models import PointCloudAutoencoder
+
+    model = PointCloudAutoencoder(npoint1=512, npoint2=128, rngs=nnx.Rngs(0))
+    graphdef, params = nnx.split(model)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    x5 = jnp.asarray(rng.uniform(-1, 1, (16, 2048, 3)), jnp.float32)
+
+    @jax.jit
+    def train_step(params, opt_state, xyz):
+        def loss_fn(params):
+            m = nnx.merge(graphdef, params)
+            pred = m(xyz)
+            cd = ppt.chamfer_distance(pred, xyz)
+            emd, _ = ppt.earth_mover_distance(
+                pred, xyz, eps=0.005, max_iters=30, phases=2
+            )
+            return cd + 0.1 * jnp.mean(emd)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    t5 = measure(train_step, params, opt_state, x5, iters=3)
+    details["config5_sa_fp_train_step_B16_N2048_ms"] = round(t5 * 1e3, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "clouds/sec FPS+group+Chamfer fwd+bwd B=32 N=16k",
+                "value": round(clouds_per_sec, 1),
+                "unit": "clouds/sec",
+                "vs_baseline": 1.0,
+                "details": details,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -134,8 +134,9 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
     ``phases > 1`` enables eps-scaling (phase k uses eps*scale^(phases-1-k),
     ending at eps) — much faster convergence to the same eps-optimality;
     ``max_iters`` is the per-phase budget."""
-    p = jnp.asarray(p, jnp.float32)
-    q = jnp.asarray(q, jnp.float32)
+    # Integer-only outputs: sever the tangent path (no AD rules needed).
+    p = jax.lax.stop_gradient(jnp.asarray(p, jnp.float32))
+    q = jax.lax.stop_gradient(jnp.asarray(q, jnp.float32))
     b, n, _ = p.shape
 
     n_pad = _round_up(n, max(ti, 128))

@@ -108,8 +108,9 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
     """[B,N,3] support, [B,P,3] centers -> (idx [B,P,nsample], cnt [B,P])."""
     from pytorch_points_tpu.core.masking import poison_points
 
-    xyz = jnp.asarray(xyz, jnp.float32)
-    centroids = jnp.asarray(centroids, jnp.float32)
+    # Integer-only outputs: sever the tangent path (no AD rules needed).
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
+    centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
     b, n, _ = xyz.shape
     p = centroids.shape[1]
 

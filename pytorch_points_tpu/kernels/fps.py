@@ -75,7 +75,9 @@ _MAX_PLANE_BYTES = 2 * 1024 * 1024  # per [B, N] f32 plane
 @functools.partial(jax.jit, static_argnames=("k",))
 def furthest_point_sample(xyz, k: int, mask=None):
     """[B, N, 3] -> [B, k] int32 FPS indices (index-identical to oracle)."""
-    xyz = jnp.asarray(xyz, jnp.float32)
+    # Integer-only outputs: sever the tangent path so pallas_call is
+    # never traced by JVP (it has no AD rules).
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
     b, n, _ = xyz.shape
 
     bp = _round_up(b, 8)

@@ -1,1 +1,14 @@
-"""(populated incrementally — see SURVEY.md §8.2 build order)"""
+"""Composite losses (reference model_loss.py, SURVEY.md §3.2 P2)."""
+
+from pytorch_points_tpu.losses.losses import (  # noqa: F401
+    ChamferLoss,
+    EMDLoss,
+    MeshEdgeLengthLoss,
+    MeshLaplacianLoss,
+    NormalLoss,
+    PointEdgeLengthLoss,
+    PointLaplacianLoss,
+    RepulsionLoss,
+    SmapeLoss,
+    UniformLoss,
+)

@@ -1,0 +1,90 @@
+"""PointNet++ model families (BASELINE config 5: full SA+FP stack).
+
+``PointCloudAutoencoder`` is the framework's flagship: the exact pipeline
+the driver grades — FPS + grouping through SA layers down to a global
+code, FP layers (three_nn + three_interpolate) back up, coordinate head,
+trained with Chamfer + EMD (see pytorch_points_tpu.parallel.train_step).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+from pytorch_points_tpu.layers import (
+    PointNetFPModule,
+    PointNetSAModule,
+    SharedMLP,
+)
+
+
+class PointNet2Encoder(nnx.Module):
+    """3-level SA hierarchy -> per-level features + global code."""
+
+    def __init__(
+        self,
+        npoint1: int = 512,
+        npoint2: int = 128,
+        radius1: float = 0.2,
+        radius2: float = 0.4,
+        nsample: int = 32,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.sa1 = PointNetSAModule(
+            0, [64, 64, 128], npoint=npoint1, radius=radius1,
+            nsample=nsample, rngs=rngs,
+        )
+        self.sa2 = PointNetSAModule(
+            128, [128, 128, 256], npoint=npoint2, radius=radius2,
+            nsample=nsample, rngs=rngs,
+        )
+        self.sa3 = PointNetSAModule(
+            256, [256, 512, 1024], group_all=True, rngs=rngs
+        )
+
+    def __call__(self, xyz, mask=None):
+        xyz1, f1 = self.sa1(xyz, None, mask=mask)
+        xyz2, f2 = self.sa2(xyz1, f1)
+        xyz3, f3 = self.sa3(xyz2, f2)
+        return (xyz, xyz1, xyz2, xyz3), (None, f1, f2, f3)
+
+
+class PointCloudAutoencoder(nnx.Module):
+    """SA encoder -> FP decoder -> per-point coordinate head.
+
+    Reconstructs the input cloud as ``xyz + offsets`` (deformation-style
+    decoding keeps the head well-conditioned); train with Chamfer + EMD.
+    """
+
+    def __init__(self, npoint1: int = 512, npoint2: int = 128, *, rngs: nnx.Rngs):
+        self.encoder = PointNet2Encoder(npoint1, npoint2, rngs=rngs)
+        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], rngs=rngs)
+        self.fp2 = PointNetFPModule(256 + 128, [256, 128], rngs=rngs)
+        self.fp1 = PointNetFPModule(128, [128, 128], rngs=rngs)
+        self.head = SharedMLP([128, 64, 3], act_last=False, rngs=rngs)
+
+    def __call__(self, xyz, mask=None):
+        (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
+        g2 = self.fp3(x2, x3, f2, f3)  # x3 is [B,1,3]: global broadcast
+        g1 = self.fp2(x1, x2, f1, g2)
+        g0 = self.fp1(x0, x1, None, g1)
+        offsets = self.head(g0)
+        pred = xyz + offsets
+        if mask is not None:
+            pred = jnp.where(mask[..., None], pred, 0.0)
+        return pred
+
+
+class PointNet2Classifier(nnx.Module):
+    """Classic PointNet++ SSG classifier head."""
+
+    def __init__(self, num_classes: int = 40, *, rngs: nnx.Rngs):
+        self.encoder = PointNet2Encoder(rngs=rngs)
+        self.head = SharedMLP(
+            [1024, 512, 256, num_classes], act_last=False, rngs=rngs
+        )
+
+    def __call__(self, xyz, mask=None):
+        _, feats = self.encoder(xyz, mask=mask)
+        return self.head(feats[3][:, 0, :])  # [B, num_classes] logits

@@ -1,0 +1,79 @@
+"""Data-parallel training step via shard_map + psum.
+
+TPU-native replacement for the torch DataParallel/DDP wrappers the
+reference's downstream users relied on (SURVEY.md §3.3): one SPMD program
+per device over a Mesh 'data' axis; gradients are pmean'd over ICI; the
+updated parameters are bitwise identical on every device (deterministic
+scatter backwards — no atomics anywhere in the framework)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax.sharding import PartitionSpec as P
+
+
+def make_train_step(model, tx, mesh, loss_fn, *, data_axis: str = "data",
+                    donate: bool = True):
+    """Build a jitted SPMD train step for an nnx model.
+
+    Args:
+      model: nnx.Module (a template; its state becomes the initial params).
+      tx: optax gradient transformation.
+      mesh: Mesh with a ``data_axis``.
+      loss_fn: (model, batch) -> scalar loss; called per device on the
+        local batch shard.
+
+    Returns:
+      (step, params, opt_state) where
+      step(params, opt_state, batch) -> (params, opt_state, loss)
+      and ``batch`` is a pytree whose leaves have a leading batch dim
+      sharded over ``data_axis``.
+    """
+    graphdef, params = nnx.split(model)
+    opt_state = tx.init(params)
+
+    def per_device(params, opt_state, batch):
+        def local_loss(params):
+            m = nnx.merge(graphdef, params)
+            return loss_fn(m, batch)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        import optax
+
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    step = jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+    return step, params, opt_state
+
+
+def reconstruction_loss(chamfer_weight: float = 1.0, emd_weight: float = 0.1,
+                        emd_kwargs: dict | None = None):
+    """Standard config-5 loss: Chamfer + EMD on the reconstructed cloud."""
+    from pytorch_points_tpu.ops import chamfer_distance, earth_mover_distance
+
+    kw = emd_kwargs or {}
+
+    def loss_fn(model, batch):
+        xyz = batch["points"]
+        pred = model(xyz)
+        loss = chamfer_weight * chamfer_distance(pred, xyz)
+        if emd_weight:
+            dist, _ = earth_mover_distance(pred, xyz, **kw)
+            loss = loss + emd_weight * jnp.mean(dist)
+        return loss
+
+    return loss_fn

@@ -1,0 +1,122 @@
+"""End-to-end model + multi-device tests (SURVEY.md §5 tiers 4-5) on the
+virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+from pytorch_points_tpu import parallel
+from pytorch_points_tpu.losses import ChamferLoss, EMDLoss, RepulsionLoss
+from pytorch_points_tpu.models import (
+    PointCloudAutoencoder,
+    PointNet2Classifier,
+    PointUpsampler,
+)
+
+
+def test_autoencoder_forward(rng):
+    model = PointCloudAutoencoder(npoint1=64, npoint2=16, rngs=nnx.Rngs(0))
+    xyz = jnp.asarray(rng.standard_normal((2, 256, 3)), jnp.float32)
+    pred = model(xyz)
+    assert pred.shape == (2, 256, 3)
+    assert bool(jnp.all(jnp.isfinite(pred)))
+
+
+def test_classifier_forward(rng):
+    model = PointNet2Classifier(num_classes=10, rngs=nnx.Rngs(0))
+    xyz = jnp.asarray(rng.standard_normal((2, 1024, 3)), jnp.float32)
+    logits = model(xyz)
+    assert logits.shape == (2, 10)
+
+
+def test_upsampler_forward(rng):
+    model = PointUpsampler(ratio=4, rngs=nnx.Rngs(0))
+    xyz = jnp.asarray(rng.standard_normal((1, 128, 3)), jnp.float32)
+    up = model(xyz)
+    assert up.shape == (1, 512, 3)
+    # upsampler loss combo runs
+    loss = ChamferLoss(percentage=0.9)(up, xyz) + 0.1 * RepulsionLoss()(up)
+    assert bool(jnp.isfinite(loss))
+
+
+def test_data_parallel_train_step_runs_and_descends(rng):
+    assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+    mesh = parallel.make_mesh({"data": 8})
+    model = PointCloudAutoencoder(npoint1=16, npoint2=8, rngs=nnx.Rngs(0))
+    loss_fn = parallel.reconstruction_loss(emd_weight=0.0)
+    step, params, opt_state = parallel.make_train_step(
+        model, optax.adam(1e-3), mesh, loss_fn
+    )
+    batch = {
+        "points": jnp.asarray(rng.standard_normal((16, 64, 3)), jnp.float32)
+    }
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_data_parallel_matches_single_device(rng):
+    """Sharded-batch loss == single-device loss (SURVEY §5 tier 4)."""
+    mesh = parallel.make_mesh({"data": 8})
+    model = PointCloudAutoencoder(npoint1=16, npoint2=8, rngs=nnx.Rngs(0))
+    loss_fn = parallel.reconstruction_loss(emd_weight=0.0)
+    batch = {
+        "points": jnp.asarray(rng.standard_normal((16, 64, 3)), jnp.float32)
+    }
+    step, params, opt_state = parallel.make_train_step(
+        model, optax.sgd(0.0), mesh, loss_fn, donate=False
+    )
+    _, _, loss_mc = step(params, opt_state, batch)
+    loss_1 = loss_fn(model, batch)
+    np.testing.assert_allclose(float(loss_mc), float(loss_1), rtol=1e-5)
+
+
+def test_chamfer_sharded_matches_dense(rng):
+    from pytorch_points_tpu.ops import chamfer_distance
+
+    mesh = parallel.make_mesh({"points": 8})
+    p = jnp.asarray(rng.standard_normal((2, 96, 3)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    got = parallel.chamfer_sharded(p, q, mesh)
+    want = chamfer_distance(p, q)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_nndistance_sharded_indices(rng):
+    import oracles
+    from pytorch_points_tpu import parallel
+
+    mesh = parallel.make_mesh({"points": 8})
+    p = np.asarray(rng.standard_normal((2, 40, 3)), np.float32)
+    q = np.asarray(rng.standard_normal((2, 64, 3)), np.float32)
+    d1, i1, d2, i2 = parallel.nndistance_sharded(
+        jnp.asarray(p), jnp.asarray(q), mesh
+    )
+    od1, oi1, od2, oi2 = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(np.asarray(i1), oi1)
+    np.testing.assert_array_equal(np.asarray(i2), oi2)
+    np.testing.assert_allclose(np.asarray(d1), od1, atol=1e-5)
+
+
+def test_emd_loss_in_train_step(rng):
+    """EMD participates in a jitted grad step (config 5 loss combo)."""
+    model = PointCloudAutoencoder(npoint1=16, npoint2=8, rngs=nnx.Rngs(0))
+    graphdef, params = nnx.split(model)
+    xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    cl, el = ChamferLoss(), EMDLoss(max_iters=20, phases=1)
+
+    @jax.jit
+    def loss(params):
+        m = nnx.merge(graphdef, params)
+        pred = m(xyz)
+        return cl(pred, xyz) + 0.1 * el(pred, xyz)
+
+    l, g = jax.value_and_grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+    assert bool(jnp.isfinite(l))
