@@ -111,12 +111,18 @@ def uniform_laplacian(verts, edges, *, normalize: bool = True):
     return out[0] if squeeze else out
 
 
-def cot_laplacian(verts, faces, *, eps: float = 1e-10):
+def cot_laplacian(verts, faces, *, eps: float = 1e-10,
+                  normalize: str = "weight"):
     """Cotangent-weighted Laplacian coordinates [B, V, 3].
 
-    L(v_i) = sum_j w_ij (v_j - v_i) / sum_j w_ij with w_ij = cot(a) + cot(b)
-    over the angles opposite edge (i, j) — the standard discrete
-    Laplace-Beltrami operator the reference builds sparsely.
+    With w_ij = cot(a) + cot(b) over the angles opposite edge (i, j):
+      * normalize="weight": sum_j w_ij (v_j - v_i) / sum_j w_ij —
+        displacement toward the cot-weighted neighbor average (the form
+        the reference's Laplacian losses use);
+      * normalize="area": (1 / (2 A_i)) * sum_j (w_ij/2) (v_j - v_i) —
+        the discrete Laplace-Beltrami (mean-curvature normal), with
+        A_i = barycentric vertex area;
+      * normalize="none": raw sum_j w_ij (v_j - v_i).
     """
     v, squeeze = _batched(verts)
     f = jnp.asarray(faces)
@@ -144,15 +150,26 @@ def cot_laplacian(verts, faces, *, eps: float = 1e-10):
             )
             wacc = wacc + jax.ops.segment_sum(cot, vi, num_segments=nv)
             wacc = wacc + jax.ops.segment_sum(cot, vj, num_segments=nv)
-        return acc / jnp.maximum(wacc, eps)[:, None] - vb
+        if normalize == "weight":
+            return acc / jnp.maximum(wacc, eps)[:, None] - vb
+        raw = acc - wacc[:, None] * vb  # sum_j w_ij (v_j - v_i)
+        if normalize == "none":
+            return raw
+        # barycentric vertex areas
+        fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        fa = 0.5 * jnp.linalg.norm(fn, axis=-1)  # [F]
+        va = jax.ops.segment_sum(
+            jnp.repeat(fa / 3.0, 3), f.reshape(-1), num_segments=nv
+        )
+        return raw / (2.0 * jnp.maximum(va, eps))[:, None]
 
     out = jax.vmap(one)(v)
     return out[0] if squeeze else out
 
 
 def mean_curvature(verts, faces):
-    """[B, V] mean-curvature magnitude = 0.5 * |cot-Laplacian coordinates|."""
-    lap = cot_laplacian(verts, faces)
+    """[B, V] mean curvature |Laplace-Beltrami(v)| / 2 (sphere R -> 1/R)."""
+    lap = cot_laplacian(verts, faces, normalize="area")
     return 0.5 * jnp.linalg.norm(lap, axis=-1)
 
 

@@ -1,1 +1,12 @@
-"""(populated incrementally — see SURVEY.md §8.2 build order)"""
+"""Utilities: point-cloud I/O, mesh I/O, checkpointing, benchmarking
+(reference utils/, SURVEY.md §3.2 P5-P7)."""
+
+from pytorch_points_tpu.utils import geometry_utils, pc_utils  # noqa: F401
+from pytorch_points_tpu.utils.benchmark import device_sync, measure  # noqa: F401
+from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
+    check_values,
+    clamp_gradients,
+    linear_loss_weight,
+    load_network,
+    save_network,
+)

@@ -1,0 +1,124 @@
+"""Training utilities (reference pytorch_utils.py, SURVEY.md §3.2 P7).
+
+``save_network`` / ``load_network`` keep the reference's two-function
+checkpoint API, backed by orbax-checkpoint (SURVEY.md §6).  Loading is
+tolerant: entries whose name or shape doesn't match the target are skipped
+with a warning, mirroring the reference's tolerant key matching.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_points_tpu.misc.logger import get_logger
+
+log = get_logger(__name__)
+
+
+def _canon(key) -> str:
+    """Canonical path string: orbax restores plain nested dicts whose
+    keystr formatting differs from nnx State paths ("['0']" vs "[0]",
+    "['value']" vs ".value") — compare on the token sequence instead."""
+    import re
+
+    return "/".join(re.findall(r"[A-Za-z0-9_]+", jax.tree_util.keystr(key)))
+
+
+def _flatten(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {_canon(k): v for k, v in flat}
+
+
+def save_network(state, path, step: int | None = None, **extra):
+    """Checkpoint a pytree (nnx state / params / opt state) with orbax.
+
+    Args:
+      state: any pytree of arrays.
+      path: checkpoint directory (created if needed).
+      step: optional step number -> subdirectory per step.
+      extra: additional pytrees saved alongside under their kwarg name.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    payload = {"state": state, **extra}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = os.path.join(path, str(step)) if step is not None else path
+        ckptr.save(target, payload, force=True)
+    log.info("saved checkpoint to %s", target)
+    return target
+
+
+def load_network(target_state, path, step: int | None = None, *,
+                 strict: bool = False):
+    """Restore a checkpoint into the structure of ``target_state``.
+
+    Tolerant by default: leaves present in the checkpoint with matching
+    path and shape are restored; everything else keeps the target's value
+    (with a warning) — the reference's tolerant state_dict loading.
+
+    Returns (restored_state, extra_dict).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    target = os.path.join(path, str(step)) if step is not None else path
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(target)
+    loaded = raw.get("state", raw)
+    extra = {k: v for k, v in raw.items() if k != "state"}
+
+    flat_loaded = _flatten(loaded)
+    paths_target, treedef = jax.tree_util.tree_flatten_with_path(target_state)
+    out = []
+    for key, val in paths_target:
+        ks = _canon(key)
+        if ks in flat_loaded:
+            cand = flat_loaded[ks]
+            if np.shape(cand) == np.shape(val):
+                out.append(jnp.asarray(cand, dtype=val.dtype))
+                continue
+            msg = f"shape mismatch at {ks}: ckpt {np.shape(cand)} vs {np.shape(val)}"
+            if strict:
+                raise ValueError(msg)
+            log.warning("%s — keeping target value", msg)
+        else:
+            if strict:
+                raise KeyError(f"missing checkpoint entry {ks}")
+            log.warning("missing checkpoint entry %s — keeping target value", ks)
+        out.append(val)
+    return jax.tree_util.tree_unflatten(treedef, out), extra
+
+
+def check_values(tree, name: str = "tensor") -> bool:
+    """NaN/Inf guard (reference check_values): True if all leaves finite."""
+    ok = True
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not bool(jnp.all(jnp.isfinite(leaf))):
+            log.error("non-finite values in %s%s", name,
+                      jax.tree_util.keystr(path))
+            ok = False
+    return ok
+
+
+def clamp_gradients(grads, max_norm: float = 1.0):
+    """Global-norm gradient clipping (reference grad clamp helper)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(g * g) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), norm
+
+
+def linear_loss_weight(start_weight: float, end_weight: float, start_step: int,
+                       end_step: int):
+    """Linear loss-weight schedule (reference lr/loss-weight schedules)."""
+
+    def schedule(step):
+        t = jnp.clip((step - start_step) / max(end_step - start_step, 1), 0, 1)
+        return start_weight + t * (end_weight - start_weight)
+
+    return schedule

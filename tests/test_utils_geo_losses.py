@@ -1,0 +1,239 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from pytorch_points_tpu import compat, geo
+from pytorch_points_tpu.losses import (
+    ChamferLoss,
+    MeshEdgeLengthLoss,
+    MeshLaplacianLoss,
+    NormalLoss,
+    PointEdgeLengthLoss,
+    PointLaplacianLoss,
+    SmapeLoss,
+    UniformLoss,
+)
+from pytorch_points_tpu.utils import geometry_utils, pc_utils
+from pytorch_points_tpu.utils.train_utils import (
+    check_values,
+    clamp_gradients,
+    load_network,
+    save_network,
+)
+
+
+# ---------------------------------------------------------------- pc I/O
+
+
+def test_ply_roundtrip_binary_and_ascii(rng, tmp_path):
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    normals = rng.standard_normal((100, 3)).astype(np.float32)
+    for binary in (True, False):
+        p = tmp_path / f"cloud_{binary}.ply"
+        pc_utils.save_ply(pts, p, normals=normals, binary=binary)
+        xyz, nrm = pc_utils.read_ply(p, load_normals=True)
+        np.testing.assert_allclose(xyz, pts, atol=1e-5)
+        np.testing.assert_allclose(nrm, normals, atol=1e-5)
+
+
+def test_ply_colors_roundtrip(rng, tmp_path):
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    colors = rng.integers(0, 255, (50, 3)).astype(np.uint8)
+    p = tmp_path / "colored.ply"
+    pc_utils.save_ply(pts, p, colors=colors)
+    xyz, col = pc_utils.read_ply(p, load_colors=True)
+    np.testing.assert_allclose(xyz, pts, atol=1e-5)
+    np.testing.assert_array_equal(col, colors)
+
+
+def test_save_ply_property(rng, tmp_path):
+    pts = rng.standard_normal((30, 3)).astype(np.float32)
+    prop = rng.standard_normal(30)
+    p = tmp_path / "prop.ply"
+    pc_utils.save_ply_property(pts, prop, p)
+    xyz, col = pc_utils.read_ply(p, load_colors=True)
+    assert col is not None and col.shape == (30, 3)
+
+
+def test_fps_np_matches_oracle(rng):
+    import oracles
+
+    xyz = rng.standard_normal((200, 3)).astype(np.float32)
+    got = pc_utils.furthest_point_sample_np(xyz, 32)
+    want = oracles.furthest_point_sample(xyz[None], 32)[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_augmentations(rng):
+    xyz = rng.standard_normal((64, 3)).astype(np.float32)
+    j = pc_utils.jitter_perturbation_point_cloud(xyz, seed=0)
+    assert np.abs(j - xyz).max() <= 0.05 + 1e-6
+    r, n = pc_utils.rotate_point_cloud(xyz, normals=xyz, seed=0)
+    np.testing.assert_allclose(
+        np.linalg.norm(r, axis=-1), np.linalg.norm(xyz, axis=-1), rtol=1e-5
+    )
+
+
+# ---------------------------------------------------------------- mesh I/O
+
+
+def test_mesh_io_roundtrip(tmp_path):
+    verts, faces = geometry_utils.generate_icosphere(1)
+    for ext in ("obj", "off", "ply"):
+        p = tmp_path / f"m.{ext}"
+        geometry_utils.write_mesh(p, verts, faces)
+        v2, f2 = geometry_utils.read_mesh(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-5)
+        np.testing.assert_array_equal(f2, faces)
+
+
+def test_grid_mesh():
+    verts, faces = geometry_utils.generate_grid_mesh(4, 5)
+    assert verts.shape == (20, 3)
+    assert faces.shape == (2 * 3 * 4, 3)
+    assert faces.max() < 20
+
+
+# ---------------------------------------------------------------- geo ops
+
+
+def test_sphere_normals_and_curvature():
+    verts, faces = geometry_utils.generate_icosphere(3, radius=2.0)
+    vn = np.asarray(geo.vertex_normals(verts, faces))
+    outward = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    dots = np.sum(vn * outward, -1)
+    assert dots.min() > 0.99  # sphere normals point radially outward
+    # mean curvature of a radius-2 sphere is 1/2
+    h = np.asarray(geo.mean_curvature(verts, faces))
+    np.testing.assert_allclose(np.median(h), 0.5, rtol=0.15)
+
+
+def test_uniform_laplacian_flat_interior():
+    verts, faces = geometry_utils.generate_grid_mesh(8, 8)
+    edges = geo.mesh_edges(faces)
+    lap = np.asarray(geo.uniform_laplacian(verts, edges))
+    # interior vertices of a regular grid: laplacian ~ 0 in z
+    assert np.abs(lap[:, 2]).max() < 1e-6
+
+
+def test_cot_laplacian_sphere_points_inward():
+    verts, faces = geometry_utils.generate_icosphere(2)
+    lap = np.asarray(geo.cot_laplacian(verts, faces))
+    outward = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    cos = np.sum(lap * outward, -1) / np.maximum(
+        np.linalg.norm(lap, axis=-1), 1e-12
+    )
+    assert cos.max() < -0.9  # laplacian points inward on a sphere
+
+
+def test_edge_lengths_and_dihedral():
+    verts, faces = geometry_utils.generate_icosphere(1)
+    edges = geo.mesh_edges(faces)
+    el = np.asarray(geo.edge_lengths(verts, edges))
+    assert el.min() > 0
+    cos, pairs = geo.dihedral_angles(verts, faces)
+    assert pairs.shape[1] == 2
+    assert np.asarray(cos).min() > 0.5  # sphere: near-coplanar neighbors
+
+
+# ---------------------------------------------------------------- losses
+
+
+def test_losses_finite_and_sane(rng):
+    gt = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    pred = gt + 0.05 * jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    assert float(ChamferLoss()(pred, gt)) > 0
+    assert float(ChamferLoss(percentage=0.8)(pred, gt)) <= float(
+        ChamferLoss()(pred, gt)
+    )
+    assert float(SmapeLoss()(pred, gt)) > 0
+    assert float(PointLaplacianLoss()(gt, pred)) > 0
+    assert float(PointEdgeLengthLoss()(gt, pred)) > 0
+    n1 = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    assert float(NormalLoss()(pred, n1, gt, n1)) >= 0
+    assert np.isfinite(float(UniformLoss(npoint=16)(gt)))
+
+
+def test_identity_losses_zero(rng):
+    gt = jnp.asarray(rng.standard_normal((1, 64, 3)), jnp.float32)
+    assert float(ChamferLoss()(gt, gt)) < 1e-10
+    assert float(PointLaplacianLoss()(gt, gt)) < 1e-10
+    assert float(PointEdgeLengthLoss()(gt, gt)) < 1e-10
+    assert float(SmapeLoss()(gt, gt)) < 1e-10
+
+
+def test_mesh_losses(rng):
+    verts, faces = geometry_utils.generate_icosphere(1)
+    edges = geo.mesh_edges(faces)
+    v = jnp.asarray(verts)[None]
+    v2 = v + 0.01 * jnp.asarray(rng.standard_normal(v.shape), jnp.float32)
+    assert float(MeshLaplacianLoss()(v2, edges, v)) > 0
+    assert float(MeshLaplacianLoss()(v, edges, v)) < 1e-10
+    assert float(MeshEdgeLengthLoss()(v2, edges, v)) > 0
+
+
+# ---------------------------------------------------------------- ckpt
+
+
+def test_checkpoint_roundtrip_and_tolerant_load(tmp_path, rng):
+    from pytorch_points_tpu.models import PointCloudAutoencoder
+
+    model = PointCloudAutoencoder(npoint1=8, npoint2=4, rngs=nnx.Rngs(0))
+    _, params = nnx.split(model)
+    path = save_network(params, tmp_path / "ckpt", step=3)
+    assert os.path.exists(path)
+
+    model2 = PointCloudAutoencoder(npoint1=8, npoint2=4, rngs=nnx.Rngs(7))
+    _, params2 = nnx.split(model2)
+    restored, _ = load_network(params2, tmp_path / "ckpt", step=3)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+import jax  # noqa: E402
+
+
+def test_check_values_and_clamp(rng):
+    good = {"a": jnp.ones(3)}
+    bad = {"a": jnp.array([1.0, jnp.nan])}
+    assert check_values(good)
+    assert not check_values(bad)
+    grads = {"w": jnp.full((10,), 10.0)}
+    clipped, norm = clamp_gradients(grads, max_norm=1.0)
+    assert float(jnp.linalg.norm(clipped["w"])) <= 1.0 + 1e-5
+
+
+# ---------------------------------------------------------------- compat
+
+
+def test_compat_layouts(rng):
+    import oracles
+
+    xyz_bcn = jnp.asarray(rng.standard_normal((2, 3, 100)), jnp.float32)
+    sampled, idx = compat.furthest_point_sample(xyz_bcn, 16)
+    assert sampled.shape == (2, 3, 16)
+    want = oracles.furthest_point_sample(
+        np.swapaxes(np.asarray(xyz_bcn), 1, 2), 16
+    )
+    np.testing.assert_array_equal(np.asarray(idx), want)
+
+    feats = jnp.asarray(rng.standard_normal((2, 7, 100)), jnp.float32)
+    g = compat.gather_points(feats, idx)
+    assert g.shape == (2, 7, 16)
+
+    grouped, kidx, dist = compat.group_knn(5, sampled, xyz_bcn)
+    assert grouped.shape == (2, 3, 16, 5)
+
+    new_xyz, new_pts, _, grouped_xyz = compat.sample_and_group(
+        xyz_bcn, feats, npoint=8, nsample=4, radius=0.8
+    )
+    assert new_xyz.shape == (2, 3, 8)
+    assert new_pts.shape == (2, 10, 8, 4)  # 3 + 7 channels
+    assert grouped_xyz.shape == (2, 3, 8, 4)
+
+    out, centroid, rad = compat.normalize_point_batch(xyz_bcn)
+    assert out.shape == xyz_bcn.shape and centroid.shape == (2, 3, 1)
