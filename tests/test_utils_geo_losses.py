@@ -237,3 +237,29 @@ def test_compat_layouts(rng):
 
     out, centroid, rad = compat.normalize_point_batch(xyz_bcn)
     assert out.shape == xyz_bcn.shape and centroid.shape == (2, 3, 1)
+
+
+# ---------------------------------------------------------------- native
+
+
+def test_native_library_if_built(rng, tmp_path):
+    from pytorch_points_tpu import _native
+
+    if not _native.available():
+        pytest.skip("native library not built")
+    import oracles
+
+    xyz = rng.standard_normal((500, 3)).astype(np.float32)
+    # fast PLY path vs python writer/reader
+    p = tmp_path / "n.ply"
+    pc_utils.save_ply(xyz, p, binary=True)
+    got = _native.read_ply_xyz(str(p))
+    np.testing.assert_allclose(got, xyz, atol=1e-6)
+    # native FPS == oracle
+    idx = _native.fps(xyz, 64)
+    want = oracles.furthest_point_sample(xyz[None], 64)[0]
+    np.testing.assert_array_equal(idx, want)
+    # grid subsample: fewer points, inside bbox
+    sub = _native.grid_subsample(xyz, 0.5)
+    assert 0 < sub.shape[0] <= 500
+    assert sub.min() >= xyz.min() - 1e-5 and sub.max() <= xyz.max() + 1e-5
