@@ -71,16 +71,37 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
             ltri, hitf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [tM, tP], counts <= tM: exact in f32
-        cfull = cs + cnt_s[:]  # [tM, tP] 1-based hit order
+        tp = qry.shape[1]
+        im = jax.lax.broadcasted_iota(jnp.int32, (tm, tp), 0) + j * tm
+        # chunk-local hit order 1..tM; loop only over the hits this chunk
+        # actually produced (typically 1-3), not all ns slots: the h-th
+        # local hit of query p lands in global slot cnt_prev[p] + h, which
+        # differs per query -> scatter via a one-hot row select over the
+        # small [ns, tP] slot table.
+        keyed = jnp.where(hit, cs, float(_IDX_BIG))  # [tM, tP]
+        max_h = jnp.max(cs[tm - 1 : tm, :]).astype(jnp.int32)  # hits <= this
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (ns, tp), 0
+        ).astype(jnp.float32)
 
-        im = jax.lax.broadcasted_iota(jnp.int32, (tm, qry.shape[1]), 0) + j * tm
-        for s in range(ns):  # static unroll; ns is small (<=64)
-            cand = jnp.where(
-                jnp.logical_and(hit, cfull == float(s + 1)), im, _IDX_BIG
+        def h_body(h, _):
+            hf = h.astype(jnp.float32)
+            cand = jnp.min(
+                jnp.where(keyed == hf + 1.0, im, _IDX_BIG),
+                axis=0,
+                keepdims=True,
+            )  # [1, tP] index of this chunk's (h+1)-th hit per query
+            slot = cnt_s[:] + hf  # [1, tP] global slot
+            rowsel = jnp.logical_and(
+                row_iota == slot, cand[0:1, :] < _IDX_BIG
+            )  # [ns, tP]; slots >= ns never match row_iota
+            idx_s[:] = jnp.where(
+                rowsel, jnp.minimum(idx_s[:], cand), idx_s[:]
             )
-            cmin = jnp.min(cand, axis=0, keepdims=True)  # [1, tP]
-            idx_s[s : s + 1, :] = jnp.minimum(idx_s[s : s + 1, :], cmin)
-        cnt_s[:] = cnt_s[:] + jnp.sum(hitf, axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, max_h, h_body, 0)
+        cnt_s[:] = cnt_s[:] + cs[tm - 1 : tm, :]
 
     @pl.when(j == nj - 1)
     def _():

@@ -40,14 +40,14 @@ def _nn_one_direction_xla(p, q):
 
 def _nndistance_forward(p, q, impl):
     impl = dispatch.resolve(impl, "chamfer")
-    if impl == "pallas":
-        from pytorch_points_tpu.kernels import distance_tiles
+    with jax.named_scope("ppt.nndistance"):
+        if impl == "pallas":
+            from pytorch_points_tpu.kernels import distance_tiles
 
-        dist1, idx1 = distance_tiles.nn_one_direction(p, q)
-        dist2, idx2 = distance_tiles.nn_one_direction(q, p)
-    else:
-        dist1, idx1 = _nn_one_direction_xla(p, q)
-        dist2, idx2 = _nn_one_direction_xla(q, p)
+            dist1, idx1, dist2, idx2 = distance_tiles.nn_both_directions(p, q)
+        else:
+            dist1, idx1 = _nn_one_direction_xla(p, q)
+            dist2, idx2 = _nn_one_direction_xla(q, p)
     return dist1, idx1, dist2, idx2
 
 

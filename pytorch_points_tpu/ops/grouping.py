@@ -51,11 +51,12 @@ def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
     """
     support_p = poison_points(support, support_mask, sign=-1.0)
     resolved = dispatch.resolve(impl, "knn")
-    if resolved == "pallas":
-        from pytorch_points_tpu.kernels import topk_scan
+    with jax.named_scope("ppt.knn"):
+        if resolved == "pallas":
+            from pytorch_points_tpu.kernels import topk_scan
 
-        return topk_scan.knn(query, support_p, k)
-    return _knn_xla(query, support_p, k)
+            return topk_scan.knn(query, support_p, k)
+        return _knn_xla(query, support_p, k)
 
 
 def group_knn(k: int, query, support, support_features=None, support_mask=None,
@@ -126,11 +127,12 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
     xyz = jnp.asarray(xyz)
     centroids = jnp.asarray(centroids)
     resolved = dispatch.resolve(impl, "ball_query")
-    if resolved == "pallas":
-        from pytorch_points_tpu.kernels import ballquery as bq_kernel
+    with jax.named_scope("ppt.ball_query"):
+        if resolved == "pallas":
+            from pytorch_points_tpu.kernels import ballquery as bq_kernel
 
-        return bq_kernel.ball_query(xyz, centroids, radius, nsample, mask)
-    return _ball_query_xla(xyz, centroids, radius, nsample, mask)
+            return bq_kernel.ball_query(xyz, centroids, radius, nsample, mask)
+        return _ball_query_xla(xyz, centroids, radius, nsample, mask)
 
 
 # ---------------------------------------------------------------------------

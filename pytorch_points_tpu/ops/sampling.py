@@ -74,11 +74,12 @@ def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
     if xyz.ndim != 3:
         raise ValueError(f"expected [B,N,3], got {xyz.shape}")
     resolved = dispatch.resolve(impl, "fps")
-    if resolved == "pallas":
-        from pytorch_points_tpu.kernels import fps as fps_kernel
+    with jax.named_scope("ppt.fps"):
+        if resolved == "pallas":
+            from pytorch_points_tpu.kernels import fps as fps_kernel
 
-        return fps_kernel.furthest_point_sample(xyz, k, mask)
-    return _fps_xla(xyz, k, mask)
+            return fps_kernel.furthest_point_sample(xyz, k, mask)
+        return _fps_xla(xyz, k, mask)
 
 
 def _gather_forward(features, idx):

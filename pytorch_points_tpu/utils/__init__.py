@@ -3,6 +3,7 @@
 
 from pytorch_points_tpu.utils import geometry_utils, pc_utils  # noqa: F401
 from pytorch_points_tpu.utils.benchmark import device_sync, measure  # noqa: F401
+from pytorch_points_tpu.utils import profiling  # noqa: F401
 from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
     check_values,
     clamp_gradients,

@@ -1,11 +1,14 @@
 """Benchmark timing helpers.
 
-The axon TPU backend executes asynchronously and — unlike standard JAX
-backends — ``block_until_ready()`` does NOT wait for device completion
-(verified on hardware: a 90 ms kernel "completed" in 0.0 ms).  The only
-reliable synchronization is a device->host transfer.  The device executes
-its queue in order, so fetching one scalar from the *last* enqueued result
-waits for everything before it.
+Two axon-runtime facts (verified on hardware) shape this module:
+  1. ``block_until_ready()`` does NOT wait for device completion — only a
+     device->host transfer does.
+  2. That transfer has a large fixed round-trip latency (~30 ms through
+     the tunnel), which would swamp per-call timings of small kernels.
+
+``measure`` therefore enqueues ``iters`` dependent-free calls (the device
+executes its queue in order), syncs once at the end, and subtracts the
+calibrated sync latency — giving honest amortized per-call time.
 """
 
 from __future__ import annotations
@@ -15,6 +18,8 @@ import time
 import jax
 import numpy as np
 
+_SYNC_LATENCY: float | None = None
+
 
 def device_sync(result) -> None:
     """Force real completion of `result` (and everything enqueued before)."""
@@ -22,15 +27,41 @@ def device_sync(result) -> None:
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
+def sync_latency() -> float:
+    """Calibrated cost of one device_sync round trip (cached)."""
+    global _SYNC_LATENCY
+    if _SYNC_LATENCY is None:
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 128))
+        f = jax.jit(lambda x: x + 1.0)
+        device_sync(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            device_sync(f(x))
+            ts.append(time.perf_counter() - t0)
+        _SYNC_LATENCY = float(np.median(ts))
+    return _SYNC_LATENCY
+
+
 def measure(fn, *args, iters: int = 5, warmup: int = 2) -> float:
-    """Median-of-iters wall seconds per call of ``fn(*args)``, properly
-    synced.  ``fn`` should be jitted; compile happens during warmup."""
+    """Amortized wall seconds per call of ``fn(*args)``.
+
+    Enqueues ``iters`` calls back-to-back, syncs once, subtracts the fixed
+    sync latency.  ``fn`` should be jitted; compile happens during warmup.
+    """
+    lat = sync_latency()
     for _ in range(warmup):
         device_sync(fn(*args))
-    times = []
-    for _ in range(iters):
+    for _ in range(4):
         t0 = time.perf_counter()
-        r = fn(*args)
+        r = None
+        for _ in range(iters):
+            r = fn(*args)
         device_sync(r)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        total = time.perf_counter() - t0
+        if total - lat > max(lat, 0.02):  # resolvable above sync noise
+            return (total - lat) / iters
+        iters *= 8  # too fast to resolve — amortize over more calls
+    return max(total - lat, 1e-9) / iters

@@ -149,3 +149,26 @@ def test_auction_kernel_eps_scaling_and_padding(rng):
     )
     for b in range(2):
         assert sorted(a[b].tolist()) == list(range(100))
+
+
+@pytest.mark.parametrize("b,nq,ns,k", [(1, 100, 300, 5), (2, 129, 257, 16)])
+def test_knn_kernel_matches_oracle(rng, b, nq, ns, k):
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((b, nq, 3), dtype=np.float32)
+    s = rng.standard_normal((b, ns, 3), dtype=np.float32)
+    d, i = topk_scan.knn(q, s, k)
+    od, oi = oracles.knn(q, s, k)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, atol=1e-6, rtol=1e-6)
+
+
+def test_knn_kernel_ties(rng):
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((1, 50, 3), dtype=np.float32)
+    base = rng.standard_normal((1, 40, 3), dtype=np.float32)
+    s = np.concatenate([base, base], axis=1)  # every distance duplicated
+    d, i = topk_scan.knn(q, s, 6)
+    od, oi = oracles.knn(q, s, 6)
+    np.testing.assert_array_equal(np.asarray(i), oi)
