@@ -1,0 +1,47 @@
+import numpy as np
+
+from pytorch_points_tpu.data import BucketedBatcher, PlyFolderDataset, random_clouds
+from pytorch_points_tpu.utils import pc_utils
+
+
+def test_bucketed_batcher_shapes_and_masks():
+    ds = random_clouds(30, lo=100, hi=900, seed=1)
+    batcher = BucketedBatcher(ds, batch_size=4, multiple=128, max_buckets=3,
+                              shuffle=True)
+    shapes = set()
+    total = 0
+    for batch in batcher:
+        pts, mask = batch["points"], batch["mask"]
+        assert pts.shape[:2] == mask.shape
+        assert pts.shape[1] in batcher.buckets
+        shapes.add(pts.shape[1])
+        # padded region is zero and masked out
+        assert np.all(pts[~mask] == 0)
+        total += int(mask.any(-1).sum())
+    assert total == 30  # every cloud delivered exactly once
+    assert len(shapes) <= 3
+
+
+def test_bucketed_batcher_masks_match_sizes():
+    ds = random_clouds(10, lo=50, hi=200, seed=2)
+    sizes = {c.shape[0] for c in ds}
+    batcher = BucketedBatcher(ds, batch_size=2, multiple=64, shuffle=False)
+    seen = []
+    for batch in batcher:
+        seen.extend(int(m.sum()) for m in batch["mask"] if m.any())
+    assert sorted(seen) == sorted(c.shape[0] for c in ds)
+    assert sizes  # sanity
+
+
+def test_ply_folder_dataset(tmp_path, rng):
+    for i in range(3):
+        pc_utils.save_ply(
+            rng.standard_normal((50 + i * 10, 3)).astype(np.float32),
+            tmp_path / f"c{i}.ply",
+        )
+    ds = PlyFolderDataset(str(tmp_path))
+    assert len(ds) == 3
+    x = ds[0]
+    assert x.shape[1] == 3
+    # normalized to unit sphere
+    assert np.linalg.norm(x, axis=-1).max() <= 1 + 1e-5
