@@ -34,7 +34,7 @@ _IDX_BIG = 2**30
 _INF = jnp.inf
 
 
-def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi,
+def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi, dcur_ref,
                 *, tm, k_pad):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -51,16 +51,21 @@ def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi,
     for c in range(3):
         diff = sup[:, c : c + 1] - qry[c : c + 1, :]
         d = d + diff * diff
+    dcur_ref[:] = d
 
     im = jax.lax.broadcasted_iota(jnp.int32, (tm, tq), 0) + j * tm
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tq), 0)
 
+    # Extraction loop. The chunk's candidate pool lives in VMEM scratch and
+    # the while carry is SCALAR-only (Mosaic hangs on multi-MB tensor
+    # carries — learned the hard way).
     def cond(state):
-        dcur, curmax = state
-        return jnp.any(jnp.min(dcur, axis=0) < curmax[0])
+        return state[0]
 
     def body(state):
-        dcur, curmax = state
+        _, it = state
+        dcur = dcur_ref[:]
+        curmax = jnp.max(topd[:], axis=0, keepdims=True)  # [1, tQ]
         m = jnp.min(dcur, axis=0, keepdims=True)  # [1, tQ]
         a = jnp.min(
             jnp.where(dcur == m, im, _IDX_BIG), axis=0, keepdims=True
@@ -76,12 +81,15 @@ def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi,
         topi[:] = jnp.where(hot, jnp.broadcast_to(a, topi.shape), topi[:])
         # knock the extracted candidate out of the chunk
         sel = jnp.logical_and(im == a, improve)
-        dcur = jnp.where(sel, _INF, dcur)
-        curmax = jnp.max(topd[:], axis=0, keepdims=True)
-        return dcur, curmax
+        dcur_ref[:] = jnp.where(sel, _INF, dcur)
+        more = jnp.any(
+            jnp.min(dcur_ref[:], axis=0)
+            < jnp.max(topd[:], axis=0)
+        )
+        return more, it + 1
 
-    curmax0 = jnp.max(topd[:], axis=0, keepdims=True)
-    jax.lax.while_loop(cond, body, (d, curmax0))
+    more0 = jnp.any(jnp.min(d, axis=0) < jnp.max(topd[:], axis=0))
+    jax.lax.while_loop(cond, body, (more0, jnp.int32(0)))
 
     @pl.when(j == nj - 1)
     def _():
@@ -153,6 +161,7 @@ def knn(query, support, k: int, tq: int | None = None, tm: int | None = None):
         scratch_shapes=[
             pltpu.VMEM((k_pad, tq), jnp.float32),
             pltpu.VMEM((k_pad, tq), jnp.int32),
+            pltpu.VMEM((tm, tq), jnp.float32),  # chunk candidate pool
         ],
         cost_estimate=pl.CostEstimate(
             flops=30 * b * q_pad * m_pad,

@@ -15,7 +15,7 @@ from jax.sharding import PartitionSpec as P
 
 
 def make_train_step(model, tx, mesh, loss_fn, *, data_axis: str = "data",
-                    donate: bool = True):
+                    donate: bool = True, remat: bool = False):
     """Build a jitted SPMD train step for an nnx model.
 
     Args:
@@ -24,6 +24,9 @@ def make_train_step(model, tx, mesh, loss_fn, *, data_axis: str = "data",
       mesh: Mesh with a ``data_axis``.
       loss_fn: (model, batch) -> scalar loss; called per device on the
         local batch shard.
+      remat: rematerialize the forward pass in the backward
+        (jax.checkpoint) — trades FLOPs for HBM at large N (SURVEY.md:
+        grouped [B,P,S,C] activations dominate memory).
 
     Returns:
       (step, params, opt_state) where
@@ -39,6 +42,8 @@ def make_train_step(model, tx, mesh, loss_fn, *, data_axis: str = "data",
             m = nnx.merge(graphdef, params)
             return loss_fn(m, batch)
 
+        if remat:
+            local_loss = jax.checkpoint(local_loss)
         loss, grads = jax.value_and_grad(local_loss)(params)
         grads = jax.lax.pmean(grads, data_axis)
         loss = jax.lax.pmean(loss, data_axis)

@@ -120,3 +120,28 @@ def test_emd_loss_in_train_step(rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
     assert bool(jnp.isfinite(l))
+
+
+def test_train_step_remat_matches(rng):
+    """remat=True must give identical losses (same math, less memory)."""
+    mesh = parallel.make_mesh({"data": 8})
+    model = PointCloudAutoencoder(npoint1=16, npoint2=8, rngs=nnx.Rngs(0))
+    loss_fn = parallel.reconstruction_loss(emd_weight=0.0)
+    batch = {
+        "points": jnp.asarray(rng.standard_normal((8, 64, 3)), jnp.float32)
+    }
+    import optax as _optax
+
+    s1, p1, o1 = parallel.make_train_step(
+        model, _optax.sgd(1e-2), mesh, loss_fn, donate=False
+    )
+    s2, p2, o2 = parallel.make_train_step(
+        model, _optax.sgd(1e-2), mesh, loss_fn, donate=False, remat=True
+    )
+    _, _, l1 = s1(p1, o1, batch)
+    np1, _, l2 = s2(p2, o2, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    assert all(
+        bool(jnp.all(jnp.isfinite(x)))
+        for x in jax.tree_util.tree_leaves(np1)
+    )
