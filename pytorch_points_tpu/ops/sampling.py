@@ -132,3 +132,15 @@ def furthest_point_sample_and_gather(xyz, k: int, mask=None, impl: str = "auto")
     """FPS then gather the sampled coordinates: returns (new_xyz [B,k,3], idx)."""
     idx = furthest_point_sample(xyz, k, mask=mask, impl=impl)
     return gather_points(xyz, idx), idx
+
+
+def scatter_add(target, idx, updates):
+    """Deterministic scatter-add along the point axis (reference scatter
+    helpers): target [B,N,C] += updates [B,K,C] at rows idx [B,K]."""
+    b = target.shape[0]
+    c = target.shape[-1]
+    return target.at[
+        jnp.arange(b)[:, None, None],
+        jnp.asarray(idx)[..., None],
+        jnp.arange(c)[None, None, :],
+    ].add(updates)

@@ -10,4 +10,5 @@ from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
     linear_loss_weight,
     load_network,
     save_network,
+    weights_init,
 )

@@ -122,3 +122,30 @@ def linear_loss_weight(start_weight: float, end_weight: float, start_step: int,
         return start_weight + t * (end_weight - start_weight)
 
     return schedule
+
+
+def weights_init(params, method: str = "xavier_uniform", seed: int = 0):
+    """Re-initialize every >=2-D kernel leaf of an nnx state / params pytree
+    (reference ``weights_init``; biases and norm scales are left alone).
+
+    Supported methods: xavier_uniform, xavier_normal, kaiming_uniform,
+    kaiming_normal, normal(0.02).
+    """
+    init = {
+        "xavier_uniform": jax.nn.initializers.xavier_uniform(),
+        "xavier_normal": jax.nn.initializers.xavier_normal(),
+        "kaiming_uniform": jax.nn.initializers.he_uniform(),
+        "kaiming_normal": jax.nn.initializers.he_normal(),
+        "normal": jax.nn.initializers.normal(0.02),
+    }[method]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for path, leaf in flat:
+        ks = jax.tree_util.keystr(path)
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 and "kernel" in ks:
+            key, sub = jax.random.split(key)
+            out.append(init(sub, leaf.shape, leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -263,3 +263,34 @@ def test_native_library_if_built(rng, tmp_path):
     sub = _native.grid_subsample(xyz, 0.5)
     assert 0 < sub.shape[0] <= 500
     assert sub.min() >= xyz.min() - 1e-5 and sub.max() <= xyz.max() + 1e-5
+
+
+def test_weights_init_and_scatter_add(rng):
+    from flax import nnx as _nnx
+
+    from pytorch_points_tpu.models import PointNet2Classifier
+    from pytorch_points_tpu.ops import scatter_add
+    from pytorch_points_tpu.utils import weights_init
+
+    model = PointNet2Classifier(num_classes=5, rngs=_nnx.Rngs(0))
+    _, params = _nnx.split(model)
+    re = weights_init(params, "xavier_normal", seed=1)
+    # kernels changed, biases unchanged
+    changed = unchanged = 0
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(re)[0],
+    ):
+        if "kernel" in jax.tree_util.keystr(pa) and a.ndim >= 2:
+            assert not np.allclose(np.asarray(a), np.asarray(b))
+            changed += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            unchanged += 1
+    assert changed > 5 and unchanged > 5
+
+    tgt = jnp.zeros((1, 5, 2))
+    idx = np.array([[0, 3, 0]], np.int32)
+    upd = jnp.ones((1, 3, 2))
+    out = np.asarray(scatter_add(tgt, idx, upd))
+    assert out[0, 0, 0] == 2.0 and out[0, 3, 0] == 1.0 and out[0, 1, 0] == 0
