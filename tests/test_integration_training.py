@@ -1,0 +1,84 @@
+"""Integration: real training loops must learn (SURVEY.md §5 integration
+tier). Tiny sizes — runs on the single-core CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from pytorch_points_tpu.losses import ChamferLoss
+from pytorch_points_tpu.models import PointNet2Classifier, PointUpsampler
+
+
+def _make_two_classes(rng, b, n):
+    """Spheres (label 0) vs cubes (label 1)."""
+    half = b // 2
+    sph = rng.standard_normal((half, n, 3)).astype(np.float32)
+    sph /= np.linalg.norm(sph, axis=-1, keepdims=True)
+    cub = rng.uniform(-1, 1, (b - half, n, 3)).astype(np.float32)
+    x = np.concatenate([sph, cub])
+    y = np.array([0] * half + [1] * (b - half), np.int32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_classifier_learns_two_classes(rng):
+    model = PointNet2Classifier(num_classes=2, rngs=nnx.Rngs(0))
+    # shrink for CPU speed
+    model.encoder.sa1.npoint = 32
+    model.encoder.sa2.npoint = 8
+    graphdef, params = nnx.split(model)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    x, y = _make_two_classes(rng, 8, 128)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(params):
+            logits = nnx.merge(graphdef, params)(x)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses
+    logits = nnx.merge(graphdef, params)(x)
+    acc = float(jnp.mean((jnp.argmax(logits, -1) == y)))
+    assert acc >= 0.75, acc
+
+
+def test_upsampler_learns_chamfer(rng):
+    model = PointUpsampler(ratio=4, channels=8, growth_rate=8, dense_n=2,
+                           k=8, rngs=nnx.Rngs(0))
+    graphdef, params = nnx.split(model)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    # targets: dense spheres; inputs: their FPS-ish subsets
+    dense = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=-1, keepdims=True)
+    sparse = dense[:, ::4]
+    dense, sparse = jnp.asarray(dense), jnp.asarray(sparse)
+    cl = ChamferLoss()
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(params):
+            up = nnx.merge(graphdef, params)(sparse)
+            return cl(up, dense)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for _ in range(15):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
