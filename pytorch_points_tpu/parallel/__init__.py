@@ -22,5 +22,6 @@ from pytorch_points_tpu.parallel.data_parallel import (  # noqa: F401
 )
 from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
     chamfer_sharded,
+    nndistance_ring,
     nndistance_sharded,
 )

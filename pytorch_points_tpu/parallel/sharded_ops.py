@@ -78,3 +78,91 @@ def chamfer_sharded(p, q, mesh, *, points_axis: str = "points"):
     """Mean bidirectional chamfer with q sharded over the points axis."""
     d1, _, d2, _ = nndistance_sharded(p, q, mesh, points_axis=points_axis)
     return jnp.mean(jnp.mean(d1, -1) + jnp.mean(d2, -1))
+
+
+def nndistance_ring(p, q, mesh, *, points_axis: str = "points"):
+    """Fully-sharded bidirectional nndistance via a ring pass (SURVEY.md §6).
+
+    BOTH clouds are sharded over the points axis — neither is ever
+    materialized on one device, so N is bounded by per-device HBM times
+    the ring size.  Each step, every device matches its resident p shard
+    against the visiting q shard and updates (a) its local dir-1 running
+    argmin and (b) the dir-2 running argmin that TRAVELS with the q shard
+    around the ring (ring attention's KV rotation with argmin as the
+    combinable statistic; communication rides ICI via ppermute).
+
+    Args:
+      p: [B, N, 3], q: [B, M, 3]; N and M divisible by the axis size.
+
+    Returns:
+      (dist1 [B,N], idx1, dist2 [B,M], idx2), dist/idx sharded like their
+      cloud.
+    """
+
+    def impl(p_shard, q_shard):
+        from pytorch_points_tpu.kernels import dispatch
+
+        if dispatch.resolve("auto", "chamfer") == "pallas":
+            from pytorch_points_tpu.kernels import distance_tiles
+
+            nn = distance_tiles.nn_both_directions
+        else:
+            def nn(a, b):
+                da, ia = _nn_one_direction_xla(a, b)
+                db, ib = _nn_one_direction_xla(b, a)
+                return da, ia, db, ib
+
+        ndev = jax.lax.axis_size(points_axis)
+        me = jax.lax.axis_index(points_axis)
+        b, n_loc, _ = p_shard.shape
+        m_loc = q_shard.shape[1]
+        inf = jnp.full((b, n_loc), jnp.inf, jnp.float32)
+
+        def step(t, state):
+            d1, i1, q_cur, d2_cur, i2_cur = state
+            # owner of the visiting shard: it left device (me - t) % ndev
+            owner = (me - t) % ndev
+            ld1, li1, ld2, li2 = nn(p_shard, q_cur)
+            li1 = li1 + owner * m_loc  # global q indices
+            li2 = li2 + me * n_loc  # global p indices
+            # shards visit out of index order -> ties need the index rule
+            take1 = jnp.logical_or(
+                ld1 < d1, jnp.logical_and(ld1 == d1, li1 < i1)
+            )
+            d1 = jnp.where(take1, ld1, d1)
+            i1 = jnp.where(take1, li1, i1)
+            take2 = jnp.logical_or(
+                ld2 < d2_cur, jnp.logical_and(ld2 == d2_cur, li2 < i2_cur)
+            )
+            d2_cur = jnp.where(take2, ld2, d2_cur)
+            i2_cur = jnp.where(take2, li2, i2_cur)
+            # rotate the q shard and its traveling accumulators
+            perm = [(s, (s + 1) % ndev) for s in range(ndev)]
+            q_cur = jax.lax.ppermute(q_cur, points_axis, perm)
+            d2_cur = jax.lax.ppermute(d2_cur, points_axis, perm)
+            i2_cur = jax.lax.ppermute(i2_cur, points_axis, perm)
+            return d1, i1, q_cur, d2_cur, i2_cur
+
+        init = (
+            inf,
+            jnp.zeros((b, n_loc), jnp.int32),
+            q_shard,
+            jnp.full((b, m_loc), jnp.inf, jnp.float32),
+            jnp.zeros((b, m_loc), jnp.int32),
+        )
+        d1, i1, _, d2, i2 = jax.lax.fori_loop(0, ndev, step, init)
+        # after ndev steps (incl. ndev rotations) the accumulators are home
+        return d1, i1, d2, i2
+
+    return jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(P(None, points_axis, None), P(None, points_axis, None)),
+        out_specs=(
+            P(None, points_axis),
+            P(None, points_axis),
+            P(None, points_axis),
+            P(None, points_axis),
+        ),
+        check_vma=False,
+    )(p, q)

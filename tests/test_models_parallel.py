@@ -145,3 +145,37 @@ def test_train_step_remat_matches(rng):
         bool(jnp.all(jnp.isfinite(x)))
         for x in jax.tree_util.tree_leaves(np1)
     )
+
+
+def test_nndistance_ring_matches_oracle(rng):
+    """Fully-sharded ring pass == dense oracle, indices identical."""
+    import oracles
+
+    mesh = parallel.make_mesh({"points": 8})
+    p = np.asarray(rng.standard_normal((2, 64, 3)), np.float32)
+    q = np.asarray(rng.standard_normal((2, 96, 3)), np.float32)
+    from pytorch_points_tpu.parallel.sharded_ops import nndistance_ring
+
+    d1, i1, d2, i2 = nndistance_ring(jnp.asarray(p), jnp.asarray(q), mesh)
+    od1, oi1, od2, oi2 = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(np.asarray(i1), oi1)
+    np.testing.assert_array_equal(np.asarray(i2), oi2)
+    np.testing.assert_allclose(np.asarray(d1), od1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-5)
+
+
+def test_nndistance_ring_ties(rng):
+    """Shards visit out of order: duplicate points must still resolve to
+    the lowest global index."""
+    import oracles
+
+    mesh = parallel.make_mesh({"points": 8})
+    base = np.asarray(rng.standard_normal((1, 32, 3)), np.float32)
+    q = np.concatenate([base, base], axis=1)  # [1, 64, 3] duplicated
+    p = np.asarray(rng.standard_normal((1, 32, 3)), np.float32)
+    from pytorch_points_tpu.parallel.sharded_ops import nndistance_ring
+
+    _, i1, _, i2 = nndistance_ring(jnp.asarray(p), jnp.asarray(q), mesh)
+    _, oi1, _, oi2 = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(np.asarray(i1), oi1)
+    np.testing.assert_array_equal(np.asarray(i2), oi2)
