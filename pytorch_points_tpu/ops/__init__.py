@@ -26,5 +26,6 @@ from pytorch_points_tpu.ops.sampling import (  # noqa: F401
     furthest_point_sample,
     furthest_point_sample_and_gather,
     gather_points,
+    random_sample,
     scatter_add,
 )

@@ -144,3 +144,25 @@ def scatter_add(target, idx, updates):
         jnp.asarray(idx)[..., None],
         jnp.arange(c)[None, None, :],
     ].add(updates)
+
+
+def random_sample(xyz, k: int, key, mask=None):
+    """Uniform random downsample without replacement (device-side twin of
+    pc_utils.downsample_points): returns (sampled [B,k,C], idx [B,k]).
+
+    With a mask, invalid points get sampling weight 0 (requires >= k valid
+    points per cloud for distinct indices).
+    """
+    b, n, _ = xyz.shape
+    keys = jax.random.split(key, b)
+    if mask is None:
+        idx = jax.vmap(
+            lambda kk: jax.random.choice(kk, n, (k,), replace=False)
+        )(keys)
+    else:
+        # Gumbel top-k trick with -inf logits on invalid points.
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        g = jax.random.gumbel(key, (b, n)) + logits
+        _, idx = jax.lax.top_k(g, k)
+    idx = idx.astype(jnp.int32)
+    return gather_points(xyz, idx), idx
