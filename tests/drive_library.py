@@ -11,12 +11,16 @@ import pytorch_points_tpu as ppt
 
 print("backend:", jax.default_backend())
 rng = np.random.default_rng(42)
-gt = rng.standard_normal((4, 1024, 3)).astype(np.float32)
-pred = gt + 0.1 * rng.standard_normal((4, 1024, 3)).astype(np.float32)
+# single-core CPU backend is slow: scale the drive down off-TPU
+_big = jax.default_backend() == "tpu"
+_N = 1024 if _big else 256
+_STEPS = 20 if _big else 5
+gt = rng.standard_normal((4, _N, 3)).astype(np.float32)
+pred = gt + 0.1 * rng.standard_normal((4, _N, 3)).astype(np.float32)
 
 # 1. sample + group (SA front half)
 new_xyz, new_feats, idx, grouped = ppt.sample_and_group(
-    gt, None, npoint=256, nsample=32, radius=0.2)
+    gt, None, npoint=_N // 4, nsample=32, radius=0.2)
 print("sample_and_group:", new_xyz.shape, new_feats.shape, idx.shape)
 
 # 2. chamfer + EMD loss and one SGD step on pred
@@ -28,11 +32,11 @@ def loss_fn(pred):
 
 p = jnp.asarray(pred)
 l0 = float(loss_fn(p))
-for _ in range(20):
+for _ in range(_STEPS):
     _, g = jax.value_and_grad(loss_fn)(p)
     p = p - 2.0 * g
 l1 = float(loss_fn(p))
-print(f"loss before={l0:.5f} after 20 SGD steps={l1:.5f}")
+print(f"loss before={l0:.5f} after {_STEPS} SGD steps={l1:.5f}")
 assert l1 < 0.98 * l0, "SGD did not reduce the loss"
 
 # 3. normals + normalization utilities
@@ -42,3 +46,41 @@ print("normals:", normals.shape, "unit-norm:",
 norm_pc, centroid, rad = ppt.normalize_point_batch(gt)
 print("normalize:", norm_pc.shape, float(jnp.abs(jnp.linalg.norm(norm_pc, axis=-1).max(-1) - 1).max()))
 print("OK")
+
+# 4. model + data pipeline + checkpoint roundtrip (new surface)
+import optax
+from flax import nnx
+from pytorch_points_tpu.data import BucketedBatcher, random_clouds
+from pytorch_points_tpu.models import PointCloudAutoencoder
+from pytorch_points_tpu.utils import load_network, save_network
+
+ds = random_clouds(8, lo=200, hi=500, seed=0)
+batcher = BucketedBatcher(ds, batch_size=4, multiple=128, max_buckets=2)
+model = PointCloudAutoencoder(npoint1=32, npoint2=8, rngs=nnx.Rngs(0))
+graphdef, params = nnx.split(model)
+tx = optax.adam(1e-3)
+opt = tx.init(params)
+
+@jax.jit
+def train_step(params, opt, pts, mask):
+    def loss_fn(params):
+        m = nnx.merge(graphdef, params)
+        return ppt.chamfer_distance(m(pts, mask=mask), pts, p_mask=mask, q_mask=mask)
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    upd, opt = tx.update(grads, opt, params)
+    return optax.apply_updates(params, upd), opt, loss
+
+seen = 0
+for batch in batcher:
+    params, opt, loss = train_step(
+        params, opt, jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]))
+    seen += 1
+print(f"trained on {seen} bucketed batches, final loss {float(loss):.5f}")
+assert jnp.isfinite(loss)
+
+import tempfile
+ckdir = tempfile.mkdtemp()
+save_network(params, ckdir, step=1)
+restored, _ = load_network(params, ckdir, step=1)
+print("checkpoint roundtrip ok")
+print("DRIVE OK")
