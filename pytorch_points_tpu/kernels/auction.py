@@ -43,20 +43,36 @@ _NEG = -1.0e30
 
 
 def _auction_kernel(ps_ref, qt_ref, out_ref, price_s, owner_s, bid_s, win_s,
-                    *, eps, max_iters, ti, n, phases, scale):
+                    ben_s, *, eps, max_iters, ti, n, phases, scale,
+                    cache_benefit):
     nchunks = n // ti
 
     price_s[:] = jnp.zeros_like(price_s)
 
-    def person_chunk(ci, eps_k):
+    def _compute_benefit(ci):
         pc = ps_ref[0, pl.ds(ci * ti, ti), :]  # [tI, 8]
         qt = qt_ref[0]  # [8, N]
-        # net value = -d2 - price
         d2 = jnp.zeros((ti, n), jnp.float32)
         for c in range(3):
             diff = pc[:, c : c + 1] - qt[c : c + 1, :]
             d2 = d2 + diff * diff
-        benefit = -d2
+        return -d2
+
+    if cache_benefit:
+        # v5e has ~128 MB VMEM: the whole [N, N] benefit matrix stays
+        # on-chip for the auction's lifetime (16 MB at N=2048), saving the
+        # 9-flop/pair recompute every iteration (~1/3 of iteration cost).
+        def warm(ci, _):
+            ben_s[pl.ds(ci * ti, ti), :] = _compute_benefit(ci)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, warm, 0)
+
+    def person_chunk(ci, eps_k):
+        if cache_benefit:
+            benefit = ben_s[pl.ds(ci * ti, ti), :]
+        else:
+            benefit = _compute_benefit(ci)
         net = benefit - price_s[:]  # [tI, N]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 1)
@@ -153,6 +169,8 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
     ps = jnp.pad(p, ((0, 0), (0, 0), (0, 5)))  # [B, N', 8] sublane side
     qt = jnp.transpose(jnp.pad(q, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
 
+    # Whole-benefit VMEM residency when it fits comfortably (<= 96 MB).
+    cache_benefit = n_pad * n_pad * 4 <= 96 * 1024 * 1024
     out = pl.pallas_call(
         functools.partial(
             _auction_kernel,
@@ -162,6 +180,7 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
             n=n_pad,
             phases=int(phases),
             scale=float(scale),
+            cache_benefit=cache_benefit,
         ),
         grid=(b,),
         in_specs=[
@@ -178,7 +197,15 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
             pltpu.VMEM((1, n_pad), jnp.int32),  # owner
             pltpu.VMEM((1, n_pad), jnp.float32),  # round best bid
             pltpu.VMEM((1, n_pad), jnp.int32),  # round winner
+            pltpu.VMEM(
+                (n_pad if cache_benefit else 8, n_pad), jnp.float32
+            ),  # benefit cache
         ],
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem limit is 16 MB; the resident benefit
+            # matrix plus working planes need more (v5e VMEM is 128 MB)
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=27 * b * n_pad * n_pad * min(max_iters, 100),
             bytes_accessed=4 * b * n_pad * 18,

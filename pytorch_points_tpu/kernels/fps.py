@@ -69,7 +69,7 @@ def _round_up(v, m):
 
 
 # VMEM budget: 3 coord planes + init + mind + temporaries, f32.
-_MAX_PLANE_BYTES = 2 * 1024 * 1024  # per [B, N] f32 plane
+_MAX_PLANE_BYTES = 16 * 1024 * 1024  # per [B, N] f32 plane (v5e VMEM ~128MB)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -125,6 +125,14 @@ def furthest_point_sample(xyz, k: int, mask=None):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bp, np_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # coord planes + init + mind + per-step temporaries; the
+            # default scoped limit is only 16 MB (v5e VMEM: 128 MB)
+            vmem_limit_bytes=min(
+                112 * 1024 * 1024, max(32, 12 * bp * np_ * 4 // (1 << 20) + 8)
+                * 1024 * 1024,
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=20 * bp * np_ * k, bytes_accessed=4 * bp * (3 * np_ + k),
             transcendentals=0,
