@@ -1,0 +1,126 @@
+"""Pallas MXU scatter-add (the backward of gather/group/interpolate).
+
+XLA's scatter-add on TPU serializes high-duplication updates (~48 ms for
+2M updates into [32,16384,3] — measured; sort+segment_sum is even worse).
+The reference used CUDA atomicAdd, which TPUs don't have.
+
+TPU-native design — scatter as a bilinear one-hot contraction on the MXU:
+with the flat output index split as n = h*128 + l,
+
+    out[h, l, c] = sum_k onehotH[k, h] * (onehotL[k, l] * g[k, c])
+
+i.e. one [tK, H] x [tK, L]-factored matmul per channel, chunked over k
+with the [H, L] accumulator resident in VMEM.  The one-hot factors cost
+O(K*(H+L)) to build instead of O(K*N), and the contraction runs at MXU
+speed.  Updates stream through VMEM once; the only HBM traffic is the
+inputs and the final [N, C] result.
+
+Precision: the one-hot factors are exact in bf16; update values use a
+hi/lo bf16 split (two MXU passes), giving ~2^-16 relative accuracy with
+deterministic ordering — tighter than the reference's nondeterministic
+float atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_points_tpu.kernels.dispatch import interpret_mode
+
+_L = 128
+
+
+def _scatter_kernel(idx_ref, g_ref, out_ref, acc, *, h, c_dim, tk):
+    kc = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    idx = idx_ref[0]  # [tK, 1] int32
+    hi = idx // _L  # [tK, 1]
+    lo = idx - hi * _L
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (tk, h), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (tk, _L), 1)
+    a = (hi == iota_h).astype(jnp.bfloat16)  # [tK, H] exact
+    bl = (lo == iota_l).astype(jnp.float32)  # [tK, L]
+
+    for c in range(c_dim):
+        gc = g_ref[0, :, c : c + 1]  # [tK, 1] f32
+        mc = bl * gc  # [tK, L] f32 exact
+        mc_hi = mc.astype(jnp.bfloat16)
+        mc_lo = (mc - mc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            a, mc_hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            a, mc_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, L] f32
+        acc[c] = acc[c] + part
+
+    @pl.when(kc == nk - 1)
+    def _():
+        out_ref[0] = acc[:]
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tk"))
+def scatter_add_csum(idx, updates, n: int, tk: int = 2048):
+    """Deterministic scatter-add: out[b, idx[b,k], c] += updates[b,k,c].
+
+    Args:
+      idx: [B, K] int32 indices in [0, n).
+      updates: [B, K, C] float32.
+      n: output length (static).
+
+    Returns:
+      [B, n, C] float32.
+    """
+    idx = jnp.asarray(idx, jnp.int32)
+    updates = jnp.asarray(updates, jnp.float32)
+    b, k = idx.shape
+    c_dim = updates.shape[-1]
+    n_pad = _round_up(n, _L)
+    h = n_pad // _L
+    k_pad = _round_up(k, tk)
+    if k_pad != k:
+        # padded updates are zero -> contribute nothing wherever they land
+        idx = jnp.pad(idx, ((0, 0), (0, k_pad - k)))
+        updates = jnp.pad(updates, ((0, 0), (0, k_pad - k), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, h=h, c_dim=c_dim, tk=tk),
+        grid=(b, k_pad // tk),
+        in_specs=[
+            pl.BlockSpec((1, tk, 1), lambda bi, kc: (bi, kc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, c_dim), lambda bi, kc: (bi, kc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_dim, h, _L), lambda bi, kc: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_dim, h, _L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_dim, h, _L), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * k_pad * (h + 1) * _L * c_dim,
+            bytes_accessed=4 * b * (k_pad * (1 + c_dim) + n_pad * c_dim),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(idx[..., None], updates)
+    # [B, C, H, L] -> [B, n, C]
+    out = jnp.transpose(out.reshape(b, c_dim, n_pad), (0, 2, 1))
+    return out[:, :n, :]

@@ -64,6 +64,8 @@ def _nndistance_fwd(p, q, impl):
 
 def _nndistance_bwd(impl, res, g):
     del impl
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
     p, q, idx1, idx2 = res
     g1, _, g2, _ = g
     i1 = idx1[..., None]
@@ -71,21 +73,12 @@ def _nndistance_bwd(impl, res, g):
     # Direction 1: dist1[i] = |p[i] - q[idx1[i]]|^2
     diff1 = p - jnp.take_along_axis(q, i1, axis=-2)  # [B,N,3]
     gp = 2.0 * g1[..., None] * diff1
-    gq = jnp.zeros_like(q)
-    gq = gq.at[
-        jnp.arange(q.shape[0])[:, None, None],
-        idx1[..., None],
-        jnp.arange(3)[None, None, :],
-    ].add(-gp)
+    gq = scatter_add_auto(idx1, -gp, q.shape[1])
     # Direction 2: dist2[j] = |q[j] - p[idx2[j]]|^2
     diff2 = q - jnp.take_along_axis(p, i2, axis=-2)  # [B,M,3]
     gq = gq + 2.0 * g2[..., None] * diff2
-    gp_scatter = jnp.zeros_like(p)
-    gp_scatter = gp_scatter.at[
-        jnp.arange(p.shape[0])[:, None, None],
-        idx2[..., None],
-        jnp.arange(3)[None, None, :],
-    ].add(-2.0 * g2[..., None] * diff2)
+    gp_scatter = scatter_add_auto(idx2, -2.0 * g2[..., None] * diff2,
+                                  p.shape[1])
     return gp + gp_scatter, gq
 
 

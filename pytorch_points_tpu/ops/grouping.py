@@ -162,14 +162,9 @@ def _group_bwd(res, g):
     idx, shape = res
     b, n, c = shape
     p, s = idx.shape[1:]
-    flat_idx = idx.reshape(b, p * s)
-    flat_g = g.reshape(b, p * s, c)
-    grad = jnp.zeros(shape, dtype=g.dtype)
-    grad = grad.at[
-        jnp.arange(b)[:, None, None],
-        flat_idx[..., None],
-        jnp.arange(c)[None, None, :],
-    ].add(flat_g)
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    grad = scatter_add_auto(idx.reshape(b, p * s), g.reshape(b, p * s, c), n)
     return grad, None
 
 

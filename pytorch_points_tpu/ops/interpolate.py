@@ -62,13 +62,12 @@ def _ti_bwd(res, g):
     b, m, c = features.shape
     n, k = idx.shape[1:]
     # d(out[b,n,:])/d(features[b,idx[b,n,j],:]) = weight[b,n,j]
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
     wg = g[:, :, None, :] * weight[..., None]  # [B,n,k,C]
-    grad_f = jnp.zeros_like(features)
-    grad_f = grad_f.at[
-        jnp.arange(b)[:, None, None],
-        idx.reshape(b, n * k)[..., None],
-        jnp.arange(c)[None, None, :],
-    ].add(wg.reshape(b, n * k, c))
+    grad_f = scatter_add_auto(
+        idx.reshape(b, n * k), wg.reshape(b, n * k, c), m
+    )
     # d(out)/d(weight[b,n,j]) = <g[b,n,:], features[b,idx[b,n,j],:]>
     gathered = jnp.take_along_axis(
         features, idx.reshape(b, n * k)[..., None], axis=1

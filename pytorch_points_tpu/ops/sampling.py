@@ -98,14 +98,9 @@ def _gather_fwd(features, idx):
 
 def _gather_bwd(res, g):
     idx, shape = res
-    b, n, c = shape
-    grad = jnp.zeros(shape, dtype=g.dtype)
-    grad = grad.at[
-        jnp.arange(b)[:, None, None],
-        idx[..., None],
-        jnp.arange(c)[None, None, :],
-    ].add(g)
-    return grad, None
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    return scatter_add_auto(idx, g, shape[1]), None
 
 
 _gather.defvjp(_gather_fwd, _gather_bwd)

@@ -1,0 +1,36 @@
+"""Shared scatter-add dispatch for all custom_vjp backward passes.
+
+The reference's backward kernels are atomicAdd scatters (SURVEY.md §3.1);
+here every backward funnels through this one primitive: the MXU one-hot
+matmul kernel on TPU (kernels/scatter.py, ~6x faster than XLA's scatter
+at training scale), XLA's deterministic indexed-add elsewhere and for
+small problems.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pytorch_points_tpu.kernels import dispatch
+
+# Below this many updates the one-hot matmul's fixed costs beat its gains.
+_MIN_PALLAS_UPDATES = 4096
+
+
+def scatter_add_auto(idx, updates, n: int, impl: str = "auto"):
+    """out[b, idx[b,k], c] += updates[b,k,c]; out is [B, n, C] of zeros."""
+    idx = jnp.asarray(idx)
+    updates = jnp.asarray(updates)
+    resolved = dispatch.resolve(impl, "scatter")
+    if resolved == "pallas" and idx.shape[1] >= _MIN_PALLAS_UPDATES:
+        from pytorch_points_tpu.kernels.scatter import scatter_add_csum
+
+        return scatter_add_csum(idx, updates, n)
+    b = idx.shape[0]
+    c = updates.shape[-1]
+    out = jnp.zeros((b, n, c), updates.dtype)
+    return out.at[
+        jnp.arange(b)[:, None, None],
+        idx[..., None],
+        jnp.arange(c)[None, None, :],
+    ].add(updates)

@@ -15,7 +15,9 @@ from pytorch_points_tpu.kernels import distance_tiles
 
 def test_available_kernels_import():
     for name in kernels.AVAILABLE:
-        assert name in {"chamfer", "fps", "knn", "ball_query", "emd", "group"}
+        assert name in {
+            "chamfer", "fps", "knn", "ball_query", "emd", "group", "scatter",
+        }
 
 
 @pytest.mark.parametrize(
