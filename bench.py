@@ -92,8 +92,7 @@ def main():
     p4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)
     q4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)
     f4 = jax.jit(
-        lambda p, q: ppt.earth_mover_distance(p, q, eps=0.005, max_iters=50,
-                                              phases=4)[0]
+        lambda p, q: ppt.earth_mover_distance(p, q)[0]
     )
     details["config4_emd_B32_N2048_ms"] = round(measure(f4, p4, q4) * 1e3, 1)
 

@@ -163,7 +163,7 @@ def earth_mover_distance(
     p,
     q,
     eps: float = 0.005,
-    max_iters: int = 50,
+    max_iters: int = 30,
     phases: int = 4,
     impl: str = "auto",
 ):
@@ -181,6 +181,11 @@ def earth_mover_distance(
         finishing at eps); >1 converges far faster for the same quality.
         The Pallas path honors this; the XLA fallback runs a single flat-eps
         auction with the combined budget.
+
+        Measured quality/time at B=32, N=2048 gaussians on v5e (mean
+        matched d^2; optimal ~0.14): defaults (30,4) -> 80 ms / 0.157;
+        (25,4) -> 68 ms / 0.159; (50,4) -> 134 ms / 0.147.  Raise
+        max_iters/phases for tighter assignments.
 
     Returns:
       (dist [B, N] squared distances along matched pairs,
