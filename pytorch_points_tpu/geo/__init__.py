@@ -1,5 +1,9 @@
 """Mesh/point geometry operators (reference geo_operations.py, SURVEY.md §3.2 P4)."""
 
+from pytorch_points_tpu.geo.cage import (  # noqa: F401
+    deform_with_cage,
+    mean_value_coordinates,
+)
 from pytorch_points_tpu.geo.mesh_ops import (  # noqa: F401
     cot_laplacian,
     dihedral_angles,

@@ -9,4 +9,5 @@ from pytorch_points_tpu.models.pointnet2 import (  # noqa: F401
     PointNet2Classifier,
     PointNet2Encoder,
 )
+from pytorch_points_tpu.models.cage_deformer import CageDeformer  # noqa: F401
 from pytorch_points_tpu.models.upsampler import PointUpsampler  # noqa: F401

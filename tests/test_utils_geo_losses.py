@@ -294,3 +294,39 @@ def test_weights_init_and_scatter_add(rng):
     upd = jnp.ones((1, 3, 2))
     out = np.asarray(scatter_add(tgt, idx, upd))
     assert out[0, 0, 0] == 2.0 and out[0, 3, 0] == 1.0 and out[0, 1, 0] == 0
+
+
+# ---------------------------------------------------------------- cages
+
+
+def test_mean_value_coordinates_reproduction(rng):
+    from pytorch_points_tpu.geo import deform_with_cage, mean_value_coordinates
+
+    cv, cf = geometry_utils.generate_icosphere(1, radius=2.0)
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    pts = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    pts = pts * rng.uniform(0.1, 0.9, (100, 1)).astype(np.float32)
+    w = mean_value_coordinates(jnp.asarray(pts), cv, cf)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w @ cv), pts, atol=1e-4)
+    # affine invariance
+    t = np.array([0.3, -0.2, 0.5], np.float32)
+    moved = np.asarray(deform_with_cage(w, cv * 1.5 + t))
+    np.testing.assert_allclose(moved, pts * 1.5 + t, atol=2e-4)
+
+
+def test_cage_deformer_model(rng):
+    from flax import nnx as _nnx
+
+    from pytorch_points_tpu.models import CageDeformer
+
+    cv, cf = geometry_utils.generate_icosphere(0, radius=2.0)  # 12 verts
+    model = CageDeformer(cv.shape[0], npoint1=16, npoint2=8, rngs=_nnx.Rngs(0))
+    src = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.5
+    tgt = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.5
+    deformed, new_cage, w = model(jnp.asarray(src), jnp.asarray(tgt), cv, cf)
+    assert deformed.shape == (2, 64, 3)
+    assert new_cage.shape == (2, 12, 3)
+    assert bool(jnp.all(jnp.isfinite(deformed)))
+    # zero offsets would reproduce the source; offsets are bounded
+    assert float(jnp.abs(new_cage - cv[None]).max()) <= model.offset_scale + 1e-6
