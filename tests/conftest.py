@@ -20,11 +20,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+import jax
+
 if os.environ.get("PPT_TEST_TPU") != "1":
     # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
-    import jax
-
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Real-TPU runs: persistent compile cache (kernel tests compile many
+    # tiny shapes; cold runs took ~15 min).
+    _cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
