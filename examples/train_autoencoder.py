@@ -41,7 +41,7 @@ def main():
         emd_weight=args.emd_weight,
         emd_kwargs={"eps": 0.01, "max_iters": 30, "phases": 2},
     )
-    step, params, opt_state = parallel.make_train_step(
+    step, state = parallel.make_train_step(
         model, optax.adam(args.lr), mesh, loss_fn
     )
 
@@ -53,13 +53,13 @@ def main():
                 rng.uniform(-1, 1, (args.batch, args.n, 3)), jnp.float32
             )
         }
-        params, opt_state, loss = step(params, opt_state, batch)
+        state, loss = step(state, batch)
         if i % 10 == 0 or i == args.steps - 1:
             device_sync(loss)
             print(f"step {i:4d}  loss {float(loss):.5f}  "
                   f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step avg)")
     if args.ckpt:
-        save_network(params, args.ckpt, step=args.steps)
+        save_network(state.params, args.ckpt, step=args.steps)
 
 
 if __name__ == "__main__":

@@ -236,7 +236,10 @@ def nn_both_directions(p, q, tn: int | None = None, tm: int | None = None):
     if tn is None:
         tn = min(1024, _round_up(n, 128))
     if tm is None:
-        tm = min(512, _round_up(m, 8))
+        # tm=256 is ~10% faster at large M (smaller tiles pipeline better)
+        # but its Mosaic compile is minutes; use it only where it pays and
+        # rely on the persistent compile cache.
+        tm = min(256 if m >= 8192 else 512, _round_up(m, 8))
 
     n_pad = _round_up(n, tn)
     m_pad = _round_up(m, tm)

@@ -29,6 +29,10 @@ class SharedMLP(nnx.Module):
         act_last: bool = True,
         rngs: nnx.Rngs,
     ):
+        """norm: None | "layer" (stateless, default) | "batch" (the
+        reference's Conv+BN blocks; carries nnx.BatchStat state — use
+        parallel.make_train_step which threads non-Param state, and
+        model.eval() for inference)."""
         if len(channels) < 2:
             raise ValueError("channels must include input and output dims")
         self.activation = activation
@@ -37,8 +41,16 @@ class SharedMLP(nnx.Module):
         for i, (cin, cout) in enumerate(zip(channels[:-1], channels[1:])):
             layers.append(nnx.Linear(cin, cout, rngs=rngs))
             is_last = i == len(channels) - 2
-            if norm == "layer" and (act_last or not is_last):
-                norms.append(nnx.LayerNorm(cout, rngs=rngs))
+            if norm is not None and (act_last or not is_last):
+                if norm == "layer":
+                    norms.append(nnx.LayerNorm(cout, rngs=rngs))
+                elif norm == "batch":
+                    norms.append(
+                        nnx.BatchNorm(cout, use_running_average=False,
+                                      momentum=0.9, rngs=rngs)
+                    )
+                else:
+                    raise ValueError(f"unknown norm {norm!r}")
             else:
                 norms.append(None)
         self.layers = nnx.List(layers)

@@ -17,6 +17,7 @@ SURVEY.md §3.3).
 
 from pytorch_points_tpu.parallel.mesh import make_mesh  # noqa: F401
 from pytorch_points_tpu.parallel.data_parallel import (  # noqa: F401
+    TrainState,
     make_train_step,
     reconstruction_loss,
 )

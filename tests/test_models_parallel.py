@@ -47,7 +47,7 @@ def test_data_parallel_train_step_runs_and_descends(rng):
     mesh = parallel.make_mesh({"data": 8})
     model = PointCloudAutoencoder(npoint1=16, npoint2=8, rngs=nnx.Rngs(0))
     loss_fn = parallel.reconstruction_loss(emd_weight=0.0)
-    step, params, opt_state = parallel.make_train_step(
+    step, state = parallel.make_train_step(
         model, optax.adam(1e-3), mesh, loss_fn
     )
     batch = {
@@ -55,7 +55,7 @@ def test_data_parallel_train_step_runs_and_descends(rng):
     }
     losses = []
     for _ in range(5):
-        params, opt_state, loss = step(params, opt_state, batch)
+        state, loss = step(state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
 
@@ -68,10 +68,10 @@ def test_data_parallel_matches_single_device(rng):
     batch = {
         "points": jnp.asarray(rng.standard_normal((16, 64, 3)), jnp.float32)
     }
-    step, params, opt_state = parallel.make_train_step(
+    step, state = parallel.make_train_step(
         model, optax.sgd(0.0), mesh, loss_fn, donate=False
     )
-    _, _, loss_mc = step(params, opt_state, batch)
+    _, loss_mc = step(state, batch)
     loss_1 = loss_fn(model, batch)
     np.testing.assert_allclose(float(loss_mc), float(loss_1), rtol=1e-5)
 
@@ -132,18 +132,18 @@ def test_train_step_remat_matches(rng):
     }
     import optax as _optax
 
-    s1, p1, o1 = parallel.make_train_step(
+    s1, st1 = parallel.make_train_step(
         model, _optax.sgd(1e-2), mesh, loss_fn, donate=False
     )
-    s2, p2, o2 = parallel.make_train_step(
+    s2, st2 = parallel.make_train_step(
         model, _optax.sgd(1e-2), mesh, loss_fn, donate=False, remat=True
     )
-    _, _, l1 = s1(p1, o1, batch)
-    np1, _, l2 = s2(p2, o2, batch)
+    _, l1 = s1(st1, batch)
+    new_state, l2 = s2(st2, batch)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     assert all(
         bool(jnp.all(jnp.isfinite(x)))
-        for x in jax.tree_util.tree_leaves(np1)
+        for x in jax.tree_util.tree_leaves(new_state.params)
     )
 
 
@@ -179,3 +179,39 @@ def test_nndistance_ring_ties(rng):
     _, oi1, _, oi2 = oracles.nndistance(p, q)
     np.testing.assert_array_equal(np.asarray(i1), oi1)
     np.testing.assert_array_equal(np.asarray(i2), oi2)
+
+
+def test_batchnorm_state_threads_through_train_step(rng):
+    """norm='batch' blocks carry BatchStat; the SPMD step must update it."""
+    from pytorch_points_tpu.layers import SharedMLP
+
+    class Tiny(nnx.Module):
+        def __init__(self, rngs):
+            self.mlp = SharedMLP([3, 16, 3], norm="batch", act_last=False,
+                                 rngs=rngs)
+
+        def __call__(self, x):
+            return self.mlp(x)
+
+    mesh = parallel.make_mesh({"data": 8})
+    model = Tiny(nnx.Rngs(0))
+
+    def loss_fn(m, batch):
+        pred = m(batch["points"])
+        return jnp.mean((pred - batch["points"]) ** 2)
+
+    step, state = parallel.make_train_step(
+        model, optax.adam(1e-2), mesh, loss_fn, donate=False
+    )
+    stats0 = jax.tree_util.tree_leaves(state.rest)
+    batch = {
+        "points": jnp.asarray(rng.standard_normal((8, 32, 3)), jnp.float32)
+    }
+    state, loss = step(state, batch)
+    stats1 = jax.tree_util.tree_leaves(state.rest)
+    assert len(stats1) > 0, "batch norm should produce non-Param state"
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(stats0, stats1)
+    )
+    assert changed, "running statistics did not update"
