@@ -47,6 +47,7 @@ class PointNetSAModule(nnx.Module):
         use_xyz: bool = True,
         normalize_radius: bool = False,
         group_all: bool = False,
+        norm: str | None = "layer",
         rngs: nnx.Rngs,
     ):
         self.npoint = npoint
@@ -56,7 +57,7 @@ class PointNetSAModule(nnx.Module):
         self.normalize_radius = normalize_radius
         self.group_all = group_all
         cin = in_channels + (3 if use_xyz or in_channels == 0 else 0)
-        self.mlp = SharedMLP([cin, *mlp], rngs=rngs)
+        self.mlp = SharedMLP([cin, *mlp], norm=norm, rngs=rngs)
 
     def __call__(self, xyz, features=None, mask=None):
         """[B,N,3], [B,N,C] -> (new_xyz [B,P,3], new_features [B,P,mlp[-1]])."""
@@ -82,8 +83,9 @@ class PointNetSAModule(nnx.Module):
 class PointNetFPModule(nnx.Module):
     """Feature propagation: 3-NN inverse-distance upsampling + skip + MLP."""
 
-    def __init__(self, in_channels: int, mlp: Sequence[int], *, rngs: nnx.Rngs):
-        self.mlp = SharedMLP([in_channels, *mlp], rngs=rngs)
+    def __init__(self, in_channels: int, mlp: Sequence[int], *,
+                 norm: str | None = "layer", rngs: nnx.Rngs):
+        self.mlp = SharedMLP([in_channels, *mlp], norm=norm, rngs=rngs)
 
     def __call__(self, xyz_hi, xyz_lo, feat_hi, feat_lo, lo_mask=None):
         """Upsample feat_lo [B,m,C] onto xyz_hi [B,n,3]; concat feat_hi skip.

@@ -29,18 +29,19 @@ class PointNet2Encoder(nnx.Module):
         radius2: float = 0.4,
         nsample: int = 32,
         *,
+        norm: str | None = "layer",
         rngs: nnx.Rngs,
     ):
         self.sa1 = PointNetSAModule(
             0, [64, 64, 128], npoint=npoint1, radius=radius1,
-            nsample=nsample, rngs=rngs,
+            nsample=nsample, norm=norm, rngs=rngs,
         )
         self.sa2 = PointNetSAModule(
             128, [128, 128, 256], npoint=npoint2, radius=radius2,
-            nsample=nsample, rngs=rngs,
+            nsample=nsample, norm=norm, rngs=rngs,
         )
         self.sa3 = PointNetSAModule(
-            256, [256, 512, 1024], group_all=True, rngs=rngs
+            256, [256, 512, 1024], group_all=True, norm=norm, rngs=rngs
         )
 
     def __call__(self, xyz, mask=None):
@@ -57,12 +58,13 @@ class PointCloudAutoencoder(nnx.Module):
     decoding keeps the head well-conditioned); train with Chamfer + EMD.
     """
 
-    def __init__(self, npoint1: int = 512, npoint2: int = 128, *, rngs: nnx.Rngs):
-        self.encoder = PointNet2Encoder(npoint1, npoint2, rngs=rngs)
-        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], rngs=rngs)
-        self.fp2 = PointNetFPModule(256 + 128, [256, 128], rngs=rngs)
-        self.fp1 = PointNetFPModule(128, [128, 128], rngs=rngs)
-        self.head = SharedMLP([128, 64, 3], act_last=False, rngs=rngs)
+    def __init__(self, npoint1: int = 512, npoint2: int = 128, *,
+                 norm: str | None = "layer", rngs: nnx.Rngs):
+        self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm, rngs=rngs)
+        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm, rngs=rngs)
+        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm, rngs=rngs)
+        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, rngs=rngs)
+        self.head = SharedMLP([128, 64, 3], act_last=False, norm=norm, rngs=rngs)
 
     def __call__(self, xyz, mask=None):
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
