@@ -4,6 +4,7 @@ from pytorch_points_tpu.geo.cage import (  # noqa: F401
     deform_with_cage,
     mean_value_coordinates,
 )
+from pytorch_points_tpu.geo.splatting import Camera, render_points  # noqa: F401
 from pytorch_points_tpu.geo.mesh_ops import (  # noqa: F401
     cot_laplacian,
     dihedral_angles,

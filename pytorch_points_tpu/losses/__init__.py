@@ -12,3 +12,10 @@ from pytorch_points_tpu.losses.losses import (  # noqa: F401
     SmapeLoss,
     UniformLoss,
 )
+
+from pytorch_points_tpu.losses.metrics import (  # noqa: F401
+    chamfer_l1,
+    coverage_and_mmd,
+    fscore,
+    hausdorff_distance,
+)

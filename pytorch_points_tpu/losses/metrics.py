@@ -1,0 +1,99 @@
+"""Evaluation metrics for generated/reconstructed clouds.
+
+Not in the reference library itself but required by every downstream
+project that consumes it (3PU/DSS/Neural Cages evaluate with exactly
+these).  All built on the framework's own nndistance/EMD kernels, so they
+run at benchmark speed on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pytorch_points_tpu.ops import earth_mover_distance, nndistance
+
+
+def hausdorff_distance(p, q, p_mask=None, q_mask=None):
+    """Symmetric Hausdorff distance (euclidean, not squared): [B]."""
+    d1, _, d2, _ = nndistance(p, q, p_mask, q_mask)
+    if p_mask is not None:
+        d1 = jnp.where(p_mask, d1, -jnp.inf)
+    if q_mask is not None:
+        d2 = jnp.where(q_mask, d2, -jnp.inf)
+    h = jnp.maximum(jnp.max(d1, axis=-1), jnp.max(d2, axis=-1))
+    return jnp.sqrt(jnp.maximum(h, 0.0))
+
+
+def fscore(pred, gt, threshold: float = 0.01, pred_mask=None, gt_mask=None):
+    """F-score at a distance threshold (Tatarchenko et al. convention).
+
+    Returns (fscore [B], precision [B], recall [B]); distances euclidean.
+    """
+    d1, _, d2, _ = nndistance(pred, gt, pred_mask, gt_mask)
+    t2 = threshold * threshold
+
+    def frac(d, mask):
+        hit = (d < t2).astype(jnp.float32)
+        if mask is None:
+            return jnp.mean(hit, axis=-1)
+        hit = jnp.where(mask, hit, 0.0)
+        return jnp.sum(hit, -1) / jnp.maximum(jnp.sum(mask, -1), 1)
+
+    precision = frac(d1, pred_mask)
+    recall = frac(d2, gt_mask)
+    f = 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
+    return f, precision, recall
+
+
+def chamfer_l1(p, q, p_mask=None, q_mask=None):
+    """Chamfer with euclidean (not squared) distances — the eval-time
+    convention in the upsampling literature: [B]."""
+    d1, _, d2, _ = nndistance(p, q, p_mask, q_mask)
+
+    def m(d, mask):
+        d = jnp.sqrt(jnp.maximum(d, 0.0))
+        if mask is None:
+            return jnp.mean(d, -1)
+        return jnp.sum(jnp.where(mask, d, 0.0), -1) / jnp.maximum(
+            jnp.sum(mask, -1), 1
+        )
+
+    return m(d1, p_mask) + m(d2, q_mask)
+
+
+def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
+                     emd_kwargs=None):
+    """Set-level generative metrics (Achlioptas et al.).
+
+    Args:
+      generated: [G, N, 3] generated clouds.
+      reference_set: [R, N, 3] reference clouds.
+      metric: "chamfer" | "emd".
+
+    Returns:
+      (coverage scalar in [0,1], mmd scalar): coverage = fraction of
+      reference clouds that are some generated cloud's nearest neighbor;
+      MMD = mean over reference clouds of the distance to their closest
+      generated cloud.
+    """
+    g, r = generated.shape[0], reference_set.shape[0]
+
+    def pair_dist(a, b):  # [n,3],[n,3] -> scalar
+        if metric == "emd":
+            dist, _ = earth_mover_distance(
+                a[None], b[None], **(emd_kwargs or {})
+            )
+            return jnp.mean(dist)
+        d1, _, d2, _ = nndistance(a[None], b[None])
+        return jnp.mean(d1) + jnp.mean(d2)
+
+    import jax
+
+    # [G, R] pairwise cloud distances (vmap over both sets)
+    dmat = jax.vmap(lambda a: jax.vmap(lambda b: pair_dist(a, b))(
+        reference_set))(generated)
+    nearest_ref = jnp.argmin(dmat, axis=1)  # per generated cloud
+    covered = jnp.zeros((r,), bool).at[nearest_ref].set(True)
+    coverage = jnp.mean(covered.astype(jnp.float32))
+    mmd = jnp.mean(jnp.min(dmat, axis=0))
+    return coverage, mmd

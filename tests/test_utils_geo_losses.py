@@ -330,3 +330,83 @@ def test_cage_deformer_model(rng):
     assert bool(jnp.all(jnp.isfinite(deformed)))
     # zero offsets would reproduce the source; offsets are bounded
     assert float(jnp.abs(new_cage - cv[None]).max()) <= model.offset_scale + 1e-6
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def test_metrics(rng):
+    from pytorch_points_tpu.losses import (
+        chamfer_l1,
+        coverage_and_mmd,
+        fscore,
+        hausdorff_distance,
+    )
+
+    gt = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    # identical clouds: perfect scores
+    h = hausdorff_distance(gt, gt.copy())
+    np.testing.assert_allclose(np.asarray(h), 0.0, atol=1e-6)
+    f, p, r = fscore(gt, gt.copy(), threshold=0.01)
+    np.testing.assert_allclose(np.asarray(f), 1.0, atol=1e-6)
+    assert float(chamfer_l1(gt, gt.copy()).max()) < 1e-5
+
+    # hausdorff catches a single outlier that chamfer-mean dilutes
+    pred = gt.copy()
+    pred[:, 0] += 5.0
+    assert float(hausdorff_distance(pred, gt).min()) > 4.0
+
+    gen = rng.standard_normal((3, 32, 3)).astype(np.float32)
+    ref = np.concatenate([gen[:2] + 0.01, rng.standard_normal((2, 32, 3)).astype(np.float32) + 5], 0)
+    cov, mmd = coverage_and_mmd(jnp.asarray(gen), jnp.asarray(ref))
+    assert 0.0 <= float(cov) <= 1.0
+    assert float(mmd) >= 0.0
+
+
+# ---------------------------------------------------------------- splatting
+
+
+def test_render_points_silhouette_and_gradients(rng):
+    import jax as _jax
+
+    from pytorch_points_tpu.geo import Camera, render_points
+
+    # a flat square of points facing the camera
+    g = np.linspace(-0.5, 0.5, 12, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g)
+    pts = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(1, -1, 3)
+    img, alpha = render_points(
+        jnp.asarray(pts), image_size=64, splat_radius=0.06
+    )
+    a = np.asarray(alpha)[0]
+    # center covered, corners empty
+    assert a[32, 32] > 0.9
+    assert a[2, 2] < 0.05
+    assert img.shape == (1, 64, 64, 1)
+
+    # occlusion: red plane in front of blue plane -> image is red
+    front = pts.copy()
+    front[..., 2] = 0.5  # closer to the camera at z=3... wait eye=(0,0,3)
+    back = pts.copy()
+    colors = np.zeros((1, pts.shape[1] * 2, 3), np.float32)
+    colors[:, : pts.shape[1], 0] = 1.0  # front red
+    colors[:, pts.shape[1] :, 2] = 1.0  # back blue
+    both = np.concatenate([front, back], axis=1)
+    img2, _ = render_points(
+        jnp.asarray(both), jnp.asarray(colors), image_size=64,
+        splat_radius=0.06, depth_temperature=1e-3
+    )
+    center = np.asarray(img2)[0, 32, 32]
+    assert center[0] > 0.9 and center[2] < 0.1, center
+
+    # gradients flow to positions (the DSS property)
+    target = np.asarray(img)[0]
+
+    def loss(p):
+        im, _ = render_points(p, image_size=64, splat_radius=0.06)
+        return jnp.mean((im[0] - target) ** 2)
+
+    shifted = jnp.asarray(pts + np.array([0.2, 0.0, 0.0], np.float32))
+    gr = _jax.grad(loss)(shifted)
+    assert bool(jnp.all(jnp.isfinite(gr)))
+    assert float(jnp.abs(gr[..., 0]).max()) > 0  # x-shift produces x-grad
