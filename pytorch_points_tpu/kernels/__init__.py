@@ -11,5 +11,5 @@ from pytorch_points_tpu.kernels import dispatch  # noqa: F401
 # Ops with a Pallas kernel implementation. Kept in sync by hand as kernels
 # land (tests assert every name here actually imports).
 AVAILABLE: frozenset[str] = frozenset(
-    {"chamfer", "fps", "ball_query", "emd", "knn", "scatter"}
+    {"chamfer", "fps", "ball_query", "emd", "knn", "scatter", "gather"}
 )

@@ -141,11 +141,13 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
 
 
 def _group_forward(features, idx):
+    from pytorch_points_tpu.ops.sampling import _maybe_pallas_gather
+
     b, p, s = idx.shape
     flat = idx.reshape(b, p * s)
-    g = jnp.take_along_axis(
-        features, flat[..., None], axis=1
-    )
+    g = _maybe_pallas_gather(features, flat)
+    if g is None:
+        g = jnp.take_along_axis(features, flat[..., None], axis=1)
     return g.reshape(b, p, s, features.shape[-1])
 
 

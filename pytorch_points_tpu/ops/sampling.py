@@ -84,7 +84,28 @@ def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
 
 def _gather_forward(features, idx):
     # features [B,N,C], idx [B,K] -> [B,K,C]
+    out = _maybe_pallas_gather(features, idx)
+    if out is not None:
+        return out
     return jnp.take_along_axis(features, idx[..., None], axis=1)
+
+def _maybe_pallas_gather(features, idx_flat):
+    """MXU gather when it beats XLA's row fetches: many rows, narrow
+    features (the bilinear one-hot contraction costs ~6*K*N*C bf16 flops
+    vs XLA's ~7.5 ns/row -> crossover around N*C ~ 5e5)."""
+    from pytorch_points_tpu.kernels import dispatch
+
+    if (
+        dispatch.resolve("auto", "gather") == "pallas"
+        and idx_flat.shape[1] >= 4096
+        and features.shape[1] * features.shape[2] <= 524288
+        and features.dtype == jnp.float32
+    ):
+        from pytorch_points_tpu.kernels.gather import gather_rows
+
+        return gather_rows(features, idx_flat)
+    return None
+
 
 
 @jax.custom_vjp

@@ -5,6 +5,7 @@ on real hardware via PPT_TEST_TPU=1.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -16,7 +17,7 @@ from pytorch_points_tpu.kernels import distance_tiles
 def test_available_kernels_import():
     for name in kernels.AVAILABLE:
         assert name in {
-            "chamfer", "fps", "knn", "ball_query", "emd", "group", "scatter",
+            "chamfer", "fps", "knn", "ball_query", "emd", "group", "scatter", "gather",
         }
 
 
@@ -174,3 +175,26 @@ def test_knn_kernel_ties(rng):
     d, i = topk_scan.knn(q, s, 6)
     od, oi = oracles.knn(q, s, 6)
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_gather_kernel_bitwise_exact(rng):
+    from pytorch_points_tpu.kernels.gather import gather_rows
+
+    feat = rng.standard_normal((2, 300, 3)).astype(np.float32)
+    idx = rng.integers(0, 300, (2, 500)).astype(np.int32)
+    out = np.asarray(gather_rows(feat, idx))
+    want = np.stack([feat[b][idx[b]] for b in range(2)])
+    np.testing.assert_array_equal(out, want)  # bitwise
+
+
+def test_scatter_kernel_matches_dense(rng):
+    from pytorch_points_tpu.kernels.scatter import scatter_add_csum
+
+    idx = rng.integers(0, 200, (2, 400)).astype(np.int32)
+    g = rng.standard_normal((2, 400, 3)).astype(np.float32)
+    out = np.asarray(scatter_add_csum(jnp.asarray(idx), jnp.asarray(g), 200))
+    want = np.zeros((2, 200, 3), np.float32)
+    for b in range(2):
+        for k in range(400):
+            want[b, idx[b, k]] += g[b, k]
+    np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-5)
