@@ -98,6 +98,7 @@ def _maybe_pallas_gather(features, idx_flat):
     if (
         dispatch.resolve("auto", "gather") == "pallas"
         and idx_flat.shape[1] >= 4096
+        and features.shape[2] <= 8  # per-channel select is unrolled
         and features.shape[1] * features.shape[2] <= 524288
         and features.dtype == jnp.float32
     ):
