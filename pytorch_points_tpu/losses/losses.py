@@ -48,14 +48,20 @@ class ChamferLoss:
         def direction(d, mask):
             if self.threshold is not None:
                 d = jnp.where(d < self.threshold, d, 0.0)
-            if mask is not None:
-                d = jnp.where(mask, d, 0.0)
             if self.percentage < 1.0:
                 n = d.shape[-1]
                 keep = max(1, int(n * self.percentage))
+                # masked points must not crowd the smallest-keep set
+                if mask is not None:
+                    d = jnp.where(mask, d, jnp.inf)
                 d = jnp.sort(d, axis=-1)[..., :keep]  # smallest `keep`
+                if mask is not None:
+                    valid = jnp.minimum(jnp.sum(mask, -1), keep)
+                    d = jnp.where(jnp.isinf(d), 0.0, d)
+                    return jnp.sum(d, -1) / jnp.maximum(valid, 1)
                 return jnp.mean(d, axis=-1)
             if mask is not None:
+                d = jnp.where(mask, d, 0.0)
                 return jnp.sum(d, -1) / jnp.maximum(jnp.sum(mask, -1), 1)
             return jnp.mean(d, axis=-1)
 

@@ -18,9 +18,21 @@ _MIN_PALLAS_UPDATES = 4096
 
 
 def scatter_add_auto(idx, updates, n: int, impl: str = "auto"):
-    """out[b, idx[b,k], c] += updates[b,k,c]; out is [B, n, C] of zeros."""
+    """out[b, idx[b,k], c] += updates[b,k,c]; out is [B, n, C] of zeros.
+
+    Extra leading batch dims (e.g. from vmap-of-grad) are flattened in and
+    restored."""
     idx = jnp.asarray(idx)
     updates = jnp.asarray(updates)
+    if idx.ndim > 2:
+        lead = idx.shape[:-1]
+        out = scatter_add_auto(
+            idx.reshape(-1, idx.shape[-1]),
+            updates.reshape(-1, updates.shape[-2], updates.shape[-1]),
+            n,
+            impl,
+        )
+        return out.reshape(*lead, n, updates.shape[-1])
     resolved = dispatch.resolve(impl, "scatter")
     if resolved == "pallas" and idx.shape[1] >= _MIN_PALLAS_UPDATES:
         from pytorch_points_tpu.kernels.scatter import scatter_add_csum

@@ -102,3 +102,16 @@ def test_nndistance_tiny_shapes(rng, n, m):
     od1, oi1, od2, oi2 = oracles.nndistance(p, q)
     np.testing.assert_array_equal(np.asarray(i1), oi1)
     np.testing.assert_allclose(np.asarray(d1), od1, atol=1e-5, rtol=1e-5)
+
+
+def test_vmap_of_grad(rng):
+    """vmap(grad(chamfer)) — extra leading dims through the scatter bwd."""
+    p = rng.standard_normal((3, 2, 20, 3)).astype(np.float32)
+    q = rng.standard_normal((3, 2, 24, 3)).astype(np.float32)
+    g = jax.vmap(jax.grad(lambda p, q: chamfer_distance(p, q)))(
+        jnp.asarray(p), jnp.asarray(q)
+    )
+    assert g.shape == p.shape
+    for i in range(3):
+        gi = jax.grad(lambda p: chamfer_distance(p, q[i]))(jnp.asarray(p[i]))
+        np.testing.assert_allclose(np.asarray(g[i]), np.asarray(gi), atol=1e-6)

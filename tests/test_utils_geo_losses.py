@@ -410,3 +410,22 @@ def test_render_points_silhouette_and_gradients(rng):
     gr = _jax.grad(loss)(shifted)
     assert bool(jnp.all(jnp.isfinite(gr)))
     assert float(jnp.abs(gr[..., 0]).max()) > 0  # x-shift produces x-grad
+
+
+def test_trimmed_chamfer_with_mask(rng):
+    """percentage<1 + mask: padded points must not crowd the kept set."""
+    p = rng.standard_normal((1, 20, 3)).astype(np.float32)
+    q = rng.standard_normal((1, 30, 3)).astype(np.float32)
+    pad_p = np.concatenate([p, rng.standard_normal((1, 12, 3)).astype(np.float32)], 1)
+    mask = np.zeros((1, 32), bool)
+    mask[:, :20] = True
+    trimmed = ChamferLoss(percentage=0.5, one_sided=True)
+    got = float(trimmed(jnp.asarray(pad_p), jnp.asarray(q), pred_mask=jnp.asarray(mask)))
+    # oracle: smallest 50% of the 20 valid forward distances... keep is
+    # computed on padded length (32*0.5=16 of 20 valid)
+    import oracles
+
+    d1, _, _, _ = oracles.nndistance(p, q)
+    keep = 16
+    want = float(np.sort(d1[0])[:keep].mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
