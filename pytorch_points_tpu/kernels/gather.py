@@ -36,7 +36,8 @@ def _gather_kernel(idx_ref, f2_ref, out_ref, *, h, c_dim, tk):
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (tk, _L), 1)
     bl = (lo == iota_l).astype(jnp.bfloat16)  # [tK, L] exact
 
-    f2 = f2_ref[0]  # [L, C*H] f32
+    # f2 is c-major: f2[l, c*H + h] = feat[h*128 + l, c]
+    f2 = f2_ref[0]  # [L, H*C] f32
     f_hi = f2.astype(jnp.bfloat16)
     r1 = f2 - f_hi.astype(jnp.float32)
     f_mid = r1.astype(jnp.bfloat16)
@@ -51,14 +52,28 @@ def _gather_kernel(idx_ref, f2_ref, out_ref, *, h, c_dim, tk):
                               preferred_element_type=jnp.float32)
     )  # [tK, C*H]: row lo_k of the table, all (c, h) pairs
 
+    # zero out every h except hi_k (pltpu.repeat TILES, i.e. produces
+    # [sel sel ...] matching the c-major layout), then fold the per-channel
+    # sum over h with one fixed one-hot matmul: T[c*H + h, c'] = [c == c']
+    # — no per-channel unroll.
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (tk, h), 1)
     sel_h = (hi == iota_h).astype(jnp.float32)  # [tK, H]
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape[1:], 1)
-    out = jnp.zeros((tk, out_ref.shape[2]), jnp.float32)
-    for c in range(c_dim):
-        pc = p[:, c * h : (c + 1) * h]  # [tK, H]
-        val = jnp.sum(sel_h * pc, axis=1, keepdims=True)  # [tK, 1]
-        out = jnp.where(lane_c == c, val, out)
+    sel_rep = pltpu.repeat(sel_h, c_dim, axis=1)  # [tK, C*H] c-major tiling
+    prod = p * sel_rep  # one nonzero h per (k, c)
+    hc_c = jax.lax.broadcasted_iota(jnp.int32, (h * c_dim, c_dim), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h * c_dim, c_dim), 1)
+    fold = (hc_c // h == cc).astype(jnp.bfloat16)  # [C*H, C] exact
+    p_hi = prod.astype(jnp.bfloat16)
+    r = prod - p_hi.astype(jnp.float32)
+    p_mid = r.astype(jnp.bfloat16)
+    p_lo = (r - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = sum(
+        jax.lax.dot_general(
+            part, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for part in (p_hi, p_mid, p_lo)
+    )  # [tK, C]; exactly one nonzero per (k, c): 3-way split is f32-exact
     out_ref[0] = out
 
 
@@ -87,7 +102,7 @@ def gather_rows(features, idx, tk: int = 2048):
     if k_pad != k:
         idx = jnp.pad(idx, ((0, 0), (0, k_pad - k)))
     feat = jnp.pad(features, ((0, 0), (0, n_pad - n), (0, 0)))
-    # [B, N', C] -> [B, H, L, C] -> [B, L, C, H] -> [B, L, C*H]
+    # c-major table: [B, N', C] -> [B, H, L, C] -> [B, L, C, H] -> [B, L, C*H]
     f2 = jnp.transpose(
         feat.reshape(b, h, _L, c_dim), (0, 2, 3, 1)
     ).reshape(b, _L, c_dim * h)

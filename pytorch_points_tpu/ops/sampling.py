@@ -90,15 +90,17 @@ def _gather_forward(features, idx):
     return jnp.take_along_axis(features, idx[..., None], axis=1)
 
 def _maybe_pallas_gather(features, idx_flat):
-    """MXU gather when it beats XLA's row fetches: many rows, narrow
-    features (the bilinear one-hot contraction costs ~6*K*N*C bf16 flops
-    vs XLA's ~7.5 ns/row -> crossover around N*C ~ 5e5)."""
+    """MXU gather when it beats XLA's row fetches: many rows, NARROW
+    features.  XLA's gather is latency-bound (~7.5 ns/row) for thin rows
+    but bandwidth-bound (fast) for wide ones; the bilinear contraction
+    costs ~6*K*N*C bf16 flops.  Measured crossover: C=3 -> 2.1x win,
+    C=128 -> XLA 2.4x faster."""
     from pytorch_points_tpu.kernels import dispatch
 
     if (
         dispatch.resolve("auto", "gather") == "pallas"
         and idx_flat.shape[1] >= 4096
-        and features.shape[2] <= 8  # per-channel select is unrolled
+        and features.shape[2] <= 16
         and features.shape[1] * features.shape[2] <= 524288
         and features.dtype == jnp.float32
     ):
