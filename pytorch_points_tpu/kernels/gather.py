@@ -107,7 +107,6 @@ def gather_rows(features, idx, tk: int = 2048):
         feat.reshape(b, h, _L, c_dim), (0, 2, 3, 1)
     ).reshape(b, _L, c_dim * h)
 
-    c_pad = max(_round_up(c_dim, 1), c_dim)
     out = pl.pallas_call(
         functools.partial(_gather_kernel, h=h, c_dim=c_dim, tk=tk),
         grid=(b, k_pad // tk),
@@ -117,9 +116,9 @@ def gather_rows(features, idx, tk: int = 2048):
             pl.BlockSpec((1, _L, c_dim * h), lambda bi, kc: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tk, c_pad), lambda bi, kc: (bi, kc, 0),
+        out_specs=pl.BlockSpec((1, tk, c_dim), lambda bi, kc: (bi, kc, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k_pad, c_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k_pad, c_dim), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -130,4 +129,4 @@ def gather_rows(features, idx, tk: int = 2048):
         ),
         interpret=interpret_mode(),
     )(idx[..., None], f2)
-    return out[:, :k, :c_dim]
+    return out[:, :k, :]
