@@ -142,17 +142,13 @@ def _emd_fwd(p, q, eps, max_iters, phases, impl):
 
 
 def _emd_bwd(eps, max_iters, phases, impl, res, g):
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
     p, q, assign, qsel = res
     g_dist, _ = g
     diff = p - qsel
     gp = 2.0 * g_dist[..., None] * diff
-    b, n, _ = p.shape
-    gq = jnp.zeros_like(q)
-    gq = gq.at[
-        jnp.arange(b)[:, None, None],
-        assign[..., None],
-        jnp.arange(3)[None, None, :],
-    ].add(-gp)
+    gq = scatter_add_auto(assign, -gp, q.shape[-2])
     return gp, gq
 
 

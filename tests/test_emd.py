@@ -65,3 +65,18 @@ def test_emd_under_jit(rng):
     a = np.asarray(assign)
     for b in range(2):
         assert sorted(a[b].tolist()) == list(range(16))
+
+
+def test_emd_vmap_of_grad(rng):
+    p = rng.standard_normal((2, 1, 8, 3)).astype(np.float32)
+    q = rng.standard_normal((2, 1, 8, 3)).astype(np.float32)
+
+    def loss(p, q):
+        dist, _ = earth_mover_distance(p, q, eps=0.01, max_iters=200, phases=1)
+        return jnp.sum(dist)
+
+    g = jax.vmap(jax.grad(loss))(jnp.asarray(p), jnp.asarray(q))
+    assert g.shape == p.shape
+    for i in range(2):
+        gi = jax.grad(lambda pp: loss(pp, jnp.asarray(q[i])))(jnp.asarray(p[i]))
+        np.testing.assert_allclose(np.asarray(g[i]), np.asarray(gi), atol=1e-6)
