@@ -38,8 +38,15 @@ from pytorch_points_tpu.kernels.dispatch import interpret_mode
 _IDX_BIG = 2**30
 
 
-def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
-               *, r2, tm, ns):
+def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
+               r2, tm, ns, with_coords):
+    # pallas passes [outputs..., scratches...]; with_coords appends the
+    # three coordinate outputs and their slot-table scratches.
+    if with_coords:
+        (out_gx_ref, out_gy_ref, out_gz_ref,
+         cnt_s, idx_s, gx_s, gy_s, gz_s) = refs
+    else:
+        cnt_s, idx_s = refs
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -47,6 +54,10 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
     def _():
         cnt_s[:] = jnp.zeros_like(cnt_s)
         idx_s[:] = jnp.full_like(idx_s, _IDX_BIG)
+        if with_coords:
+            gx_s[:] = jnp.zeros_like(gx_s)
+            gy_s[:] = jnp.zeros_like(gy_s)
+            gz_s[:] = jnp.zeros_like(gz_s)
 
     # Later chunks can't contribute once every query in the tile is full.
     not_done = jnp.min(cnt_s[:]) < ns
@@ -86,10 +97,9 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
 
         def h_body(h, _):
             hf = h.astype(jnp.float32)
+            sel = keyed == hf + 1.0  # [tM, tP] at most one True per column
             cand = jnp.min(
-                jnp.where(keyed == hf + 1.0, im, _IDX_BIG),
-                axis=0,
-                keepdims=True,
+                jnp.where(sel, im, _IDX_BIG), axis=0, keepdims=True
             )  # [1, tP] index of this chunk's (h+1)-th hit per query
             slot = cnt_s[:] + hf  # [1, tP] global slot
             rowsel = jnp.logical_and(
@@ -98,6 +108,20 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
             idx_s[:] = jnp.where(
                 rowsel, jnp.minimum(idx_s[:], cand), idx_s[:]
             )
+            if with_coords:
+                # the hit's coords, already centered on its query
+                for cth, (gs, qrow) in enumerate(
+                    ((gx_s, 0), (gy_s, 1), (gz_s, 2))
+                ):
+                    g, qr = gs, qrow
+                    val = jnp.sum(
+                        jnp.where(sel, sup[:, qr : qr + 1], 0.0),
+                        axis=0,
+                        keepdims=True,
+                    ) - qry[qr : qr + 1, :]  # [1, tP]
+                    g[:] = jnp.where(
+                        rowsel, jnp.broadcast_to(val, g.shape), g[:]
+                    )
             return 0
 
         jax.lax.fori_loop(0, max_h, h_body, 0)
@@ -107,6 +131,10 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, cnt_s, idx_s,
     def _():
         out_idx_ref[0] = idx_s[:]
         out_cnt_ref[0] = jnp.minimum(cnt_s[:], float(ns)).astype(jnp.int32)
+        if with_coords:
+            out_gx_ref[0] = gx_s[:]
+            out_gy_ref[0] = gy_s[:]
+            out_gz_ref[0] = gz_s[:]
 
 
 def _round_up(v, m):
@@ -123,15 +151,10 @@ def _pad_points_poison(x, target_n):
     return jnp.concatenate([x, poison], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tp", "tm"))
-def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
-               tp: int | None = None, tm: int | None = None):
-    """[B,N,3] support, [B,P,3] centers -> (idx [B,P,nsample], cnt [B,P])."""
+def _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
+                     with_coords):
     from pytorch_points_tpu.core.masking import poison_points
 
-    # Integer-only outputs: sever the tangent path (no AD rules needed).
-    xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
-    centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
     b, n, _ = xyz.shape
     p = centroids.shape[1]
 
@@ -152,10 +175,33 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
     qry_t = jnp.transpose(jnp.pad(qry, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
     sup_s = jnp.pad(sup, ((0, 0), (0, 0), (0, 5)))
 
+    slot_spec = pl.BlockSpec((1, ns_pad, tp), lambda bi, i, j: (bi, 0, i),
+                             memory_space=pltpu.VMEM)
+    out_specs = [
+        slot_spec,
+        pl.BlockSpec((1, 1, tp), lambda bi, i, j: (bi, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((1, tp), jnp.float32),
+        pltpu.VMEM((ns_pad, tp), jnp.int32),
+    ]
+    if with_coords:
+        out_specs += [slot_spec] * 3
+        out_shape += [
+            jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.float32)
+        ] * 3
+        scratch += [pltpu.VMEM((ns_pad, tp), jnp.float32)] * 3
+
     grid = (b, p_pad // tp, m_pad // tm)
-    out_idx, out_cnt = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
-            _bq_kernel, r2=float(radius) ** 2, tm=tm, ns=ns_pad
+            _bq_kernel, r2=float(radius) ** 2, tm=tm, ns=ns_pad,
+            with_coords=with_coords,
         ),
         grid=grid,
         in_specs=[
@@ -164,20 +210,9 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
             pl.BlockSpec((1, tm, 8), lambda bi, i, j: (bi, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, ns_pad, tp), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, tp), jnp.float32),
-            pltpu.VMEM((ns_pad, tp), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=(9 + 3 * ns_pad) * b * p_pad * m_pad
             + 2 * b * (p_pad // tp) * (m_pad // tm) * tm * tm * tp,
@@ -186,6 +221,7 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
         ),
         interpret=interpret_mode(),
     )(qry_t, sup_s)
+    out_idx, out_cnt = outs[0], outs[1]
 
     idx = jnp.transpose(out_idx[:, :nsample, :p], (0, 2, 1))  # [B, P, ns]
     cnt = jnp.minimum(out_cnt[:, 0, :p], nsample)  # kernel caps at ns_pad
@@ -193,4 +229,50 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
     first = idx[..., :1]
     first = jnp.where(first == _IDX_BIG, 0, first)
     idx = jnp.where(idx == _IDX_BIG, first, idx)
-    return idx, cnt
+    if not with_coords:
+        return idx, cnt
+
+    g = jnp.stack(
+        [jnp.transpose(o[:, :nsample, :p], (0, 2, 1)) for o in outs[2:]],
+        axis=-1,
+    )  # [B, P, ns, 3] centered on each query; unfilled slots are garbage
+    slot_filled = jnp.arange(nsample)[None, None, :] < cnt[..., None]
+    # repeat-first-hit fill; zero-hit rows use support[0] - center
+    # (idx fill = 0, matching PointNet++ semantics)
+    fill0 = xyz[:, :1, :][:, :, None, :] - centroids[:, :, None, :]
+    first_g = jnp.where(
+        (cnt > 0)[..., None, None], g[:, :, :1, :], fill0
+    )
+    g = jnp.where(slot_filled[..., None], g, first_g)
+    return idx, cnt, g
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tp", "tm"))
+def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
+               tp: int | None = None, tm: int | None = None):
+    """[B,N,3] support, [B,P,3] centers -> (idx [B,P,nsample], cnt [B,P])."""
+    # Integer-only outputs: sever the tangent path (no AD rules needed).
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
+    centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
+    return _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
+                            with_coords=False)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tp", "tm"))
+def ball_query_and_group_coords(xyz, centroids, radius: float, nsample: int,
+                                mask=None, tp: int | None = None,
+                                tm: int | None = None):
+    """Fused SA front half: ball query + CENTERED grouped coordinates.
+
+    Returns (idx [B,P,ns] int32, cnt [B,P] int32,
+    grouped_centered [B,P,ns,3] = xyz[idx] - centroids) without a separate
+    gather pass — the kernel emits coords while it scans (SURVEY.md §4.3:
+    the benchmark path the reference ran as four kernel launches).
+
+    NOTE: output coordinates are non-differentiable (treat like the idx
+    output; use group_points on the idx for a differentiable path).
+    """
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
+    centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
+    return _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
+                            with_coords=True)

@@ -190,6 +190,42 @@ def group_points(features, idx):
 
 
 # ---------------------------------------------------------------------------
+# fused ball query + centered coordinate grouping (SA front half)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _bq_group_centered(xyz, centroids, radius, nsample):
+    from pytorch_points_tpu.kernels import ballquery as bq_kernel
+
+    idx, cnt, g = bq_kernel.ball_query_and_group_coords(
+        xyz, centroids, radius, nsample
+    )
+    return idx, cnt, g
+
+
+def _bqg_fwd(xyz, centroids, radius, nsample):
+    out = _bq_group_centered(xyz, centroids, radius, nsample)
+    idx, _, _ = out
+    return out, (idx, xyz.shape)
+
+
+def _bqg_bwd(radius, nsample, res, gbar):
+    idx, xyz_shape = res
+    _, _, gg = gbar  # cotangent of the grouped centered coords [B,P,ns,3]
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    b = idx.shape[0]
+    flat = idx.reshape(b, -1)
+    grad_xyz = scatter_add_auto(flat, gg.reshape(b, -1, 3), xyz_shape[1])
+    grad_cen = -jnp.sum(gg, axis=2)
+    return grad_xyz, grad_cen
+
+
+_bq_group_centered.defvjp(_bqg_fwd, _bqg_bwd)
+
+
+# ---------------------------------------------------------------------------
 # sample_and_group — the SA-layer front half (SURVEY.md §4.3)
 # ---------------------------------------------------------------------------
 
@@ -225,11 +261,22 @@ def sample_and_group(
     idx_fps = furthest_point_sample(xyz, npoint, mask=mask, impl=impl)
     new_xyz = gather_points(xyz, idx_fps)
     if radius is not None:
-        idx, _ = ball_query(xyz, new_xyz, radius, nsample, mask=mask, impl=impl)
+        if dispatch.resolve(impl, "ball_query") == "pallas" and mask is None:
+            # fused kernel: query + centered grouping in one pass
+            # (reference ran these as separate kernels, SURVEY.md §4.3)
+            idx, _, centered = _bq_group_centered(
+                xyz, new_xyz, float(radius), int(nsample)
+            )
+            grouped_xyz = centered + new_xyz[:, :, None, :]
+        else:
+            idx, _ = ball_query(xyz, new_xyz, radius, nsample, mask=mask,
+                                impl=impl)
+            grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
+            centered = grouped_xyz - new_xyz[:, :, None, :]
     else:
         _, idx = knn(new_xyz, xyz, nsample, support_mask=mask, impl=impl)
-    grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
-    centered = grouped_xyz - new_xyz[:, :, None, :]
+        grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
+        centered = grouped_xyz - new_xyz[:, :, None, :]
     if normalize_radius and radius is not None:
         centered = centered / radius
     if features is not None:

@@ -198,3 +198,37 @@ def test_scatter_kernel_matches_dense(rng):
         for k in range(400):
             want[b, idx[b, k]] += g[b, k]
     np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-5)
+
+
+def test_fused_ball_query_group_coords(rng):
+    from pytorch_points_tpu.kernels import ballquery as bqk
+
+    xyz = rng.uniform(-1, 1, size=(2, 300, 3)).astype(np.float32)
+    cen = xyz[:, :40]
+    idx, cnt, g = bqk.ball_query_and_group_coords(xyz, cen, 0.4, 8)
+    oidx, ocnt = oracles.ball_query(xyz, cen, 0.4, 8)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    want = oracles.group_points(xyz, oidx) - cen[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
+
+
+def test_sample_and_group_fused_matches_xla_with_grads(rng):
+    from pytorch_points_tpu.ops import sample_and_group
+
+    xyz = rng.uniform(-1, 1, size=(1, 128, 3)).astype(np.float32)
+
+    def summed(x, impl):
+        _, nf, _, _ = sample_and_group(
+            x, None, npoint=16, nsample=8, radius=0.5, impl=impl
+        )
+        return jnp.sum(nf**2)
+
+    v_p, g_p = jax.value_and_grad(lambda x: summed(x, "pallas"))(
+        jnp.asarray(xyz)
+    )
+    v_x, g_x = jax.value_and_grad(lambda x: summed(x, "xla"))(
+        jnp.asarray(xyz)
+    )
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
