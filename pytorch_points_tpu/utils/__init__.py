@@ -12,3 +12,4 @@ from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
     save_network,
     weights_init,
 )
+from pytorch_points_tpu.utils.trainer import Trainer  # noqa: F401

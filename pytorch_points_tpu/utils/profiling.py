@@ -29,13 +29,13 @@ def op_scope(name: str):
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, *, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture an XProf trace of the enclosed block into ``log_dir``.
 
     View with xprof / tensorboard-plugin-profile, or convert the contained
     .trace.json.gz to Perfetto.
     """
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
