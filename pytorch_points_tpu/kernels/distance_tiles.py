@@ -131,6 +131,97 @@ def _nn_both_kernel(pt_ref, qs_ref, out_d1_ref, out_i1_ref, out_d2_ref,
         out_i2_ref[0] = i2acc[:]
 
 
+def _nn_both_pruned_kernel(cand_ref, pt_ref, qs_ref, out_d1_ref, out_i1_ref,
+                           out_d2_ref, out_i2_ref, accd, acci, d2acc, i2acc,
+                           *, tm, tn):
+    """The fused kernel with a per-(i, j) AABB-pruning skip guard.
+
+    cand[b, i, j] == 0 means no point in p-tile i can have its nearest
+    neighbor in q-tile j AND vice versa (sound bound computed by the
+    wrapper), so the whole tile pair is skipped — accumulators untouched.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        accd[:] = jnp.full_like(accd, jnp.inf)
+        acci[:] = jnp.zeros_like(acci)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        d2acc[:] = jnp.full_like(d2acc, jnp.inf)
+        i2acc[:] = jnp.zeros_like(i2acc)
+
+    @pl.when(cand_ref[0, i, j] != 0)
+    def _():
+        q = qs_ref[0]  # [tM, 8]
+        p = pt_ref[0]  # [8, tN]
+        d = jnp.zeros((tm, tn), jnp.float32)
+        for c in range(3):
+            diff = q[:, c : c + 1] - p[c : c + 1, :]
+            d = d + diff * diff
+
+        m = jnp.min(d, axis=0, keepdims=True)
+        ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
+                    keepdims=True) + j * tm
+        better = m < accd[:]
+        accd[:] = jnp.where(better, m, accd[:])
+        acci[:] = jnp.where(better, a, acci[:])
+
+        m2 = jnp.min(d, axis=1, keepdims=True)
+        il = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        a2 = jnp.min(jnp.where(d == m2, il, _IDX_SENTINEL), axis=1,
+                     keepdims=True) + i * tn
+        lane_nj = jax.lax.broadcasted_iota(jnp.int32, d2acc.shape, 1)
+        cond = jnp.logical_and(lane_nj == j, m2 < d2acc[:])
+        d2acc[:] = jnp.where(cond, jnp.broadcast_to(m2, d2acc.shape),
+                             d2acc[:])
+        i2acc[:] = jnp.where(cond, jnp.broadcast_to(a2, i2acc.shape),
+                             i2acc[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_d1_ref[0] = accd[:]
+        out_i1_ref[0] = acci[:]
+
+    @pl.when(jnp.logical_and(i == ni - 1, j == nj - 1))
+    def _():
+        out_d2_ref[0] = d2acc[:]
+        out_i2_ref[0] = i2acc[:]
+
+
+def _morton_codes(xyz, bits: int = 10):
+    """[B, N, 3] -> [B, N] uint32 Morton codes over each cloud's AABB."""
+    lo = jnp.min(xyz, axis=1, keepdims=True)
+    hi = jnp.max(xyz, axis=1, keepdims=True)
+    t = (xyz - lo) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((t * (2**bits - 1)).astype(jnp.uint32), 0, 2**bits - 1)
+
+    def spread(v):  # spread 10 bits to every 3rd bit
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    return (
+        spread(q[..., 0])
+        | (spread(q[..., 1]) << 1)
+        | (spread(q[..., 2]) << 2)
+    )
+
+
+def _tile_bounds(x, tile):
+    """sorted [B, N', 3] -> (lo [B, nT, 3], hi [B, nT, 3]) per tile."""
+    b, n, _ = x.shape
+    xr = x.reshape(b, n // tile, tile, 3)
+    return jnp.min(xr, axis=2), jnp.max(xr, axis=2)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -308,3 +399,143 @@ def _pad_points_poison_neg(x, target_n):
     offs = -(BIG_COORD * 4.0 + 8.0 * jnp.arange(pad, dtype=x.dtype))
     poison = jnp.zeros((b, pad, c), x.dtype).at[:, :, 0].set(offs[None, :])
     return jnp.concatenate([x, poison], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm"))
+def nn_both_directions_pruned(p, q, tn: int | None = None,
+                              tm: int | None = None):
+    """Fused bidirectional NN with Morton-sorted AABB tile pruning.
+
+    Both clouds are sorted along a Morton curve so tiles become spatially
+    coherent; per-tile AABBs then give a sound lower bound (min possible
+    distance) and upper bound (some tile whose max possible distance
+    bounds every point's NN) — tile pairs whose lower bound exceeds the
+    upper bound in BOTH directions are skipped entirely inside the kernel.
+    With the rank-aligned upper bound ~77% of tile pairs are pruned on
+    uniform clouds (91% on surface data).
+
+    STATUS — experimental, not dispatched by default: results are exact
+    (verified equal to the dense kernel on hardware), but in this
+    grid-skip form the per-step pipeline overhead of skipped steps eats
+    the savings (measured 116 ms vs 62 ms dense at B=32, N=16k).  The
+    win requires compacting candidates into a worklist driven through
+    PrefetchScalarGridSpec so skipped pairs never become grid steps —
+    see ROADMAP.md.  Argmin TIES may resolve to a different equal-distance
+    index than the unsorted scan (sort order replaces the lowest-index
+    rule) — within the fidelity bar (BASELINE.json:5 requires exact
+    distances; index identity is required of FPS).
+    """
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    b, n, _ = p.shape
+    m = q.shape[1]
+
+    if tn is None:
+        tn = min(1024, _round_up(n, 128))
+    if tm is None:
+        tm = min(256 if m >= 8192 else 512, _round_up(m, 8))
+    n_pad = _round_up(n, tn)
+    m_pad = _round_up(m, tm)
+    ni, nj = n_pad // tn, m_pad // tm
+
+    perm_p = jnp.argsort(_morton_codes(p), axis=1).astype(jnp.int32)
+    perm_q = jnp.argsort(_morton_codes(q), axis=1).astype(jnp.int32)
+    ps = jnp.take_along_axis(p, perm_p[..., None], axis=1)
+    qs_sorted = jnp.take_along_axis(q, perm_q[..., None], axis=1)
+
+    pp = _pad_points_poison(ps, n_pad)
+    qp = _pad_points_poison_neg(qs_sorted, m_pad)
+
+    plo, phi = _tile_bounds(pp, tn)  # [B, nI, 3]
+    qlo, qhi = _tile_bounds(qp, tm)  # [B, nJ, 3]
+    gap = jnp.maximum(
+        jnp.maximum(qlo[:, None, :, :] - phi[:, :, None, :],
+                    plo[:, :, None, :] - qhi[:, None, :, :]),
+        0.0,
+    )
+    lb = jnp.sum(gap * gap, axis=-1)  # [B, nI, nJ] sound lower bound
+    # Rank-aligned upper bound: after Morton sorting, the q point at the
+    # same (scaled) rank is spatially close, and every point's NN distance
+    # is <= its distance to that specific point — a far tighter per-tile
+    # bound than AABB max-distance (measured: 0.16 vs 1.00 candidate
+    # fraction on uniform clouds at these tile sizes).
+    jal = jnp.arange(n) * m // n
+    d_al1 = jnp.sum((ps - qs_sorted[:, jal, :]) ** 2, axis=-1)  # [B, N]
+    d_al1 = jnp.pad(d_al1, ((0, 0), (0, n_pad - n)),
+                    constant_values=jnp.inf)  # pad tiles keep everything
+    ub1 = jnp.max(d_al1.reshape(b, ni, tn), axis=-1)  # [B, nI]
+    ial = jnp.arange(m) * n // m
+    d_al2 = jnp.sum((qs_sorted - ps[:, ial, :]) ** 2, axis=-1)
+    d_al2 = jnp.pad(d_al2, ((0, 0), (0, m_pad - m)),
+                    constant_values=jnp.inf)
+    ub2 = jnp.max(d_al2.reshape(b, nj, tm), axis=-1)  # [B, nJ]
+    safe = 1.0 + 1e-5
+    cand = jnp.logical_or(
+        lb <= ub1[:, :, None] * safe, lb <= ub2[:, None, :] * safe
+    ).astype(jnp.int32)
+
+    pt = jnp.transpose(jnp.pad(pp, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    qs = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+
+    grid = (b, ni, nj)
+    out_d1, out_i1, out_d2, out_i2 = pl.pallas_call(
+        functools.partial(_nn_both_pruned_kernel, tm=tm, tn=tn),
+        grid=grid,
+        in_specs=[
+            # whole per-batch candidate plane in SMEM (scalar memory allows
+            # arbitrary dynamic scalar reads; VMEM lane reads must be
+            # 128-aligned)
+            pl.BlockSpec((1, ni, nj), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8), lambda bi, i, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, nj), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, nj), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, tm, nj), jnp.float32),
+            jax.ShapeDtypeStruct((b, tm, nj), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tn), jnp.float32),
+            pltpu.VMEM((1, tn), jnp.int32),
+            pltpu.VMEM((tm, nj), jnp.float32),
+            pltpu.VMEM((tm, nj), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_pad * m_pad,  # assume ~70% pruned
+            bytes_accessed=4 * b * (8 * n_pad + 8 * m_pad + 2 * n_pad
+                                    + 2 * m_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(cand, pt, qs)
+
+    inv_p = jnp.argsort(perm_p, axis=1)
+    inv_q = jnp.argsort(perm_q, axis=1)
+    d1s = out_d1[:, 0, :n]
+    i1s = out_i1[:, 0, :n]
+    d2s = jnp.transpose(out_d2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
+    i2s = jnp.transpose(out_i2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
+    # map neighbor indices back to original ids, then rows to original order
+    i1 = jnp.take_along_axis(
+        jnp.take_along_axis(perm_q, i1s, axis=1), inv_p, axis=1
+    )
+    d1 = jnp.take_along_axis(d1s, inv_p, axis=1)
+    i2 = jnp.take_along_axis(
+        jnp.take_along_axis(perm_p, i2s, axis=1), inv_q, axis=1
+    )
+    d2 = jnp.take_along_axis(d2s, inv_q, axis=1)
+    return d1, i1, d2, i2

@@ -232,3 +232,18 @@ def test_sample_and_group_fused_matches_xla_with_grads(rng):
     )
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape_p,shape_q", [((2, 300, 3), (2, 420, 3))])
+def test_pruned_chamfer_matches_oracle(rng, shape_p, shape_q):
+    from pytorch_points_tpu.kernels import distance_tiles as dt
+
+    p = rng.uniform(-1, 1, shape_p).astype(np.float32)
+    q = rng.uniform(-1, 1, shape_q).astype(np.float32)
+    d1, i1, d2, i2 = dt.nn_both_directions_pruned(p, q)
+    od1, oi1, od2, oi2 = oracles.nndistance(p, q)
+    np.testing.assert_allclose(np.asarray(d1), od1, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-6)
+    # exact distances; on tie-free data indices match the oracle too
+    np.testing.assert_array_equal(np.asarray(i1), oi1)
+    np.testing.assert_array_equal(np.asarray(i2), oi2)
