@@ -194,6 +194,72 @@ def _nn_both_pruned_kernel(cand_ref, pt_ref, qs_ref, out_d1_ref, out_i1_ref,
         out_i2_ref[0] = i2acc[:]
 
 
+def _nn_worklist_kernel(iidx_ref, jidx_ref, init1_ref, emit1_ref, skip_ref,
+                        pt_ref, qs_ref, out_d1_ref, out_i1_ref, out_d2_ref,
+                        out_i2_ref, accd, acci, d2acc, i2acc, *, tm, tn):
+    """Candidate-pair worklist form of the pruned kernel.
+
+    The grid is (B, K) over a compacted, i-major-sorted list of candidate
+    tile pairs (scalar-prefetched so the block index maps DMA the right
+    tiles); pruned pairs never become grid steps at all.  Flags mark the
+    first/last occurrence of each p-tile (accumulator init / emit) and
+    padding entries (skip).
+    """
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(init1_ref[b, k] != 0)
+    def _():
+        accd[:] = jnp.full_like(accd, jnp.inf)
+        acci[:] = jnp.zeros_like(acci)
+
+    @pl.when(k == 0)
+    def _():
+        d2acc[:] = jnp.full_like(d2acc, jnp.inf)
+        i2acc[:] = jnp.zeros_like(i2acc)
+
+    @pl.when(skip_ref[b, k] == 0)
+    def _():
+        i = iidx_ref[b, k]
+        j = jidx_ref[b, k]
+        q = qs_ref[0]  # [tM, 8]
+        p = pt_ref[0]  # [8, tN]
+        d = jnp.zeros((tm, tn), jnp.float32)
+        for c in range(3):
+            diff = q[:, c : c + 1] - p[c : c + 1, :]
+            d = d + diff * diff
+
+        m = jnp.min(d, axis=0, keepdims=True)
+        ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
+                    keepdims=True) + j * tm
+        better = m < accd[:]
+        accd[:] = jnp.where(better, m, accd[:])
+        acci[:] = jnp.where(better, a, acci[:])
+
+        m2 = jnp.min(d, axis=1, keepdims=True)
+        il = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        a2 = jnp.min(jnp.where(d == m2, il, _IDX_SENTINEL), axis=1,
+                     keepdims=True) + i * tn
+        lane_nj = jax.lax.broadcasted_iota(jnp.int32, d2acc.shape, 1)
+        cond = jnp.logical_and(lane_nj == j, m2 < d2acc[:])
+        d2acc[:] = jnp.where(cond, jnp.broadcast_to(m2, d2acc.shape),
+                             d2acc[:])
+        i2acc[:] = jnp.where(cond, jnp.broadcast_to(a2, i2acc.shape),
+                             i2acc[:])
+
+    @pl.when(emit1_ref[b, k] != 0)
+    def _():
+        out_d1_ref[0] = accd[:]
+        out_i1_ref[0] = acci[:]
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_d2_ref[0] = d2acc[:]
+        out_i2_ref[0] = i2acc[:]
+
+
 def _morton_codes(xyz, bits: int = 10):
     """[B, N, 3] -> [B, N] uint32 Morton codes over each cloud's AABB."""
     lo = jnp.min(xyz, axis=1, keepdims=True)
@@ -401,6 +467,76 @@ def _pad_points_poison_neg(x, target_n):
     return jnp.concatenate([x, poison], axis=1)
 
 
+def _run_worklist(cand, pt, qs, b, ni, nj, tn, tm, n_pad, k_max):
+    """Compact candidate pairs into an i-major worklist and run the
+    PrefetchScalarGridSpec kernel over exactly those pairs."""
+    flat = cand.reshape(b, ni * nj)
+    # stable sort, candidates first -> i-major order preserved
+    order = jnp.argsort(1 - flat, axis=1, stable=True)[:, :k_max]
+    count = jnp.sum(flat, axis=1)  # [B]
+    karange = jnp.arange(k_max)[None, :]
+    real = karange < count[:, None]
+    iidx = jnp.where(real, (order // nj).astype(jnp.int32), ni - 1)
+    jidx = jnp.where(real, (order % nj).astype(jnp.int32), 0)
+    prev_i = jnp.concatenate([iidx[:, :1] - 1, iidx[:, :-1]], axis=1)
+    init1 = (iidx != prev_i).astype(jnp.int32)
+    nxt_i = jnp.concatenate([iidx[:, 1:], iidx[:, -1:] + 1], axis=1)
+    emit1 = (iidx != nxt_i).astype(jnp.int32)
+    skip = (~real).astype(jnp.int32)
+    # padding entries alias i = ni-1: suppress their init/emit except that
+    # the transition INTO padding already emitted the real last tile above.
+    init1 = jnp.where(real, init1, 0)
+    emit1 = jnp.where(real, emit1, 0)
+    # the final real entry must emit even if followed by padding aliasing
+    # the same i: nxt_i at the boundary is a padding i (ni-1)...
+    last_real = karange == (count - 1)[:, None]
+    emit1 = jnp.where(last_real, 1, emit1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, k_max),
+        in_specs=[
+            pl.BlockSpec((1, 8, tn),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, 0, ii[bb, kk]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, jj[bb, kk], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tn),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, 0, ii[bb, kk]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, 0, ii[bb, kk]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, nj),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, nj),
+                         lambda bb, kk, ii, jj, i1, e1, sk: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tn), jnp.float32),
+            pltpu.VMEM((1, tn), jnp.int32),
+            pltpu.VMEM((tm, nj), jnp.float32),
+            pltpu.VMEM((tm, nj), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_nn_worklist_kernel, tm=tm, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, tm, nj), jnp.float32),
+            jax.ShapeDtypeStruct((b, tm, nj), jnp.int32),
+        ],
+        interpret=interpret_mode(),
+    )(iidx, jidx, init1, emit1, skip, pt, qs), count
+
+
 @functools.partial(jax.jit, static_argnames=("tn", "tm"))
 def nn_both_directions_pruned(p, q, tn: int | None = None,
                               tm: int | None = None):
@@ -415,15 +551,18 @@ def nn_both_directions_pruned(p, q, tn: int | None = None,
     uniform clouds (91% on surface data).
 
     STATUS — experimental, not dispatched by default: results are exact
-    (verified equal to the dense kernel on hardware), but in this
-    grid-skip form the per-step pipeline overhead of skipped steps eats
-    the savings (measured 116 ms vs 62 ms dense at B=32, N=16k).  The
-    win requires compacting candidates into a worklist driven through
-    PrefetchScalarGridSpec so skipped pairs never become grid steps —
-    see ROADMAP.md.  Argmin TIES may resolve to a different equal-distance
-    index than the unsorted scan (sort order replaces the lowest-index
-    rule) — within the fidelity bar (BASELINE.json:5 requires exact
-    distances; index identity is required of FPS).
+    (verified equal to the dense kernel on hardware, B=32 N=16k), and the
+    candidate list (23% of pairs) is driven through a
+    PrefetchScalarGridSpec worklist so pruned pairs never become grid
+    steps — but it still measures 107 ms vs 60 ms dense: the dynamic
+    block-index DMAs pipeline poorly and the Morton permute/un-permute
+    adds ~6 narrow-row gathers.  Remaining work (ROADMAP.md): route the
+    permutation gathers through kernels/gather.py and investigate Mosaic
+    multi-buffering with prefetched indices.  Argmin TIES may resolve to
+    a different equal-distance index than the unsorted scan (sort order
+    replaces the lowest-index rule) — within the fidelity bar
+    (BASELINE.json:5 requires exact distances; index identity is required
+    of FPS).
     """
     p = jnp.asarray(p, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
@@ -477,65 +616,33 @@ def nn_both_directions_pruned(p, q, tn: int | None = None,
     pt = jnp.transpose(jnp.pad(pp, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
     qs = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
 
-    grid = (b, ni, nj)
-    out_d1, out_i1, out_d2, out_i2 = pl.pallas_call(
-        functools.partial(_nn_both_pruned_kernel, tm=tm, tn=tn),
-        grid=grid,
-        in_specs=[
-            # whole per-batch candidate plane in SMEM (scalar memory allows
-            # arbitrary dynamic scalar reads; VMEM lane reads must be
-            # 128-aligned)
-            pl.BlockSpec((1, ni, nj), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, tn), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, 8), lambda bi, i, j: (bi, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, nj), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, nj), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, tm, nj), jnp.float32),
-            jax.ShapeDtypeStruct((b, tm, nj), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, tn), jnp.float32),
-            pltpu.VMEM((1, tn), jnp.int32),
-            pltpu.VMEM((tm, nj), jnp.float32),
-            pltpu.VMEM((tm, nj), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * n_pad * m_pad,  # assume ~70% pruned
-            bytes_accessed=4 * b * (8 * n_pad + 8 * m_pad + 2 * n_pad
-                                    + 2 * m_pad),
-            transcendentals=0,
-        ),
-        interpret=interpret_mode(),
-    )(cand, pt, qs)
+    # Static worklist budget; the dense fused kernel handles the (rare)
+    # overflow case so pruning is always sound.
+    k_max = max(ni, min(ni * nj, int(0.45 * ni * nj) + ni))
+    work_outs, count = _run_worklist(
+        cand, pt, qs, b, ni, nj, tn, tm, n_pad, k_max
+    )
+    overflow = jnp.any(count > k_max)
 
-    inv_p = jnp.argsort(perm_p, axis=1)
-    inv_q = jnp.argsort(perm_q, axis=1)
-    d1s = out_d1[:, 0, :n]
-    i1s = out_i1[:, 0, :n]
-    d2s = jnp.transpose(out_d2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
-    i2s = jnp.transpose(out_i2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
-    # map neighbor indices back to original ids, then rows to original order
-    i1 = jnp.take_along_axis(
-        jnp.take_along_axis(perm_q, i1s, axis=1), inv_p, axis=1
-    )
-    d1 = jnp.take_along_axis(d1s, inv_p, axis=1)
-    i2 = jnp.take_along_axis(
-        jnp.take_along_axis(perm_p, i2s, axis=1), inv_q, axis=1
-    )
-    d2 = jnp.take_along_axis(d2s, inv_q, axis=1)
-    return d1, i1, d2, i2
+    def dense(_):
+        return tuple(nn_both_directions(p, q, tn=tn, tm=tm))
+
+    def from_work(_):
+        wd1, wi1, wd2, wi2 = work_outs
+        inv_p_ = jnp.argsort(perm_p, axis=1)
+        inv_q_ = jnp.argsort(perm_q, axis=1)
+        d1s_ = wd1[:, 0, :n]
+        i1s_ = wi1[:, 0, :n]
+        d2s_ = jnp.transpose(wd2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
+        i2s_ = jnp.transpose(wi2, (0, 2, 1)).reshape(b, m_pad)[:, :m]
+        i1_ = jnp.take_along_axis(
+            jnp.take_along_axis(perm_q, i1s_, axis=1), inv_p_, axis=1
+        )
+        d1_ = jnp.take_along_axis(d1s_, inv_p_, axis=1)
+        i2_ = jnp.take_along_axis(
+            jnp.take_along_axis(perm_p, i2s_, axis=1), inv_q_, axis=1
+        )
+        d2_ = jnp.take_along_axis(d2s_, inv_q_, axis=1)
+        return d1_, i1_, d2_, i2_
+
+    return jax.lax.cond(overflow, dense, from_work, None)
