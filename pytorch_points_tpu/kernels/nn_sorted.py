@@ -1,0 +1,368 @@
+"""Morton-sorted, bound-pruned nearest-neighbor kernel (SURVEY.md §3.1 N1).
+
+The dense fused chamfer kernel (kernels/distance_tiles.py) runs at ~80% of
+VPU peak, so further speedup must come from *not scanning* tile pairs that
+provably cannot contain a nearest neighbor.  Round-1's AABB bounds failed
+on uniform clouds (94-100%% of pairs remained candidates — see
+bench/probe_r2_chamfer.py); this module replaces them with a sound
+per-point bound pipeline that measures ~36%%/direction at 512x256 tiles
+(31.6 ms vs 60.8 ms dense at B=32, N=M=16k on v5e, bitwise identical):
+
+  1. sort both clouds along a Morton curve (one variadic lax.sort each —
+     7x cheaper than argsort+gather);
+  2. band pass: for each point, scan a static rank window of the other
+     cloud around its own rank (a 3-diagonal Pallas pass, ~5%% of dense
+     work) — the window minimum is a tight per-point UPPER bound d_ub on
+     its true NN distance (exact for >91%% of points already);
+  3. candidate mask: q-tile J is a candidate for p-point x iff
+     lb(x, J) <= d_ub(x), where lb is the exact AABB lower bound against
+     *fine* (64-point) sub-tiles, OR-folded to kernel tile granularity.
+     Soundness: the tile containing x's true NN n* has
+     lb <= d(x, n*) <= d_ub(x), so it is always visited — including exact
+     ties (any tile holding an equal-distance point also satisfies the
+     bound), hence results are BITWISE identical to the dense scan over
+     the sorted clouds, tie-breaks included;
+  4. execution: the candidate pairs are compacted into an i-major worklist
+     and driven by a VMEM-RESIDENT kernel — grid over B only, both sorted
+     clouds live in VMEM (a 16k cloud is 512 KB), the worklist streams
+     through SMEM, and a fori_loop visits exactly count[b] pairs with zero
+     per-step DMA (the grid-DMA worklist form of round 1 paid ~1 us/step,
+     which at these tile sizes exceeds the compute itself).  Each
+     direction runs as its own pass with its own mask: the fused kernel's
+     [tM, nJ] direction-2 accumulator merge costs 3x the distance tile
+     (bench/probe_r2_resident.py), so two lean passes win.
+
+Results are returned in SORTED space plus the permutations: the chamfer
+loss is permutation-invariant so its forward needs no un-permute at all,
+and its backward un-permutes gradients with two one-hot MXU scatters
+(ops/chamfer.py).  If the static worklist budget overflows (pathological
+distributions), a lax.cond falls back to the dense kernel on the sorted
+clouds — same contract, always exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_points_tpu.kernels.dispatch import interpret_mode
+from pytorch_points_tpu.kernels.distance_tiles import (
+    _IDX_SENTINEL,
+    _morton_codes,
+    _pad_points_poison,
+    _pad_points_poison_neg,
+    _round_up,
+    nn_both_directions,
+)
+
+# Static worklist budget as a fraction of all tile pairs.  Uniform clouds
+# measure ~40% united over both directions; beyond the budget the wrapper
+# falls back to the dense kernel (sound, just slower).
+_BUDGET_FRAC = 0.62
+
+
+def sort_by_morton(x):
+    """[B, N, 3] -> (sorted [B, N, 3], perm [B, N] i32) via one variadic sort.
+
+    perm satisfies sorted = x[perm] (i.e. jnp.take_along_axis(x, perm)).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    b, n, _ = x.shape
+    code = _morton_codes(x)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    _, perm, x0, x1, x2 = jax.lax.sort(
+        (code, iota, x[..., 0], x[..., 1], x[..., 2]), dimension=1, num_keys=1
+    )
+    return jnp.stack([x0, x1, x2], axis=-1), perm
+
+
+# ---------------------------------------------------------------------------
+# band pass: per-point upper bound
+# ---------------------------------------------------------------------------
+
+
+def _band_kernel(pt_ref, qs_ref, out_ref, accd, *, tb):
+    w = pl.program_id(2)
+    nw = pl.num_programs(2)
+
+    @pl.when(w == 0)
+    def _():
+        accd[:] = jnp.full_like(accd, jnp.inf)
+
+    q = qs_ref[0]  # [tB, 8]
+    p = pt_ref[0]  # [8, tB]
+    d = jnp.zeros((tb, tb), jnp.float32)
+    for c in range(3):
+        diff = q[:, c : c + 1] - p[c : c + 1, :]
+        d = d + diff * diff
+    accd[:] = jnp.minimum(accd[:], jnp.min(d, axis=0, keepdims=True))
+
+    @pl.when(w == nw - 1)
+    def _():
+        out_ref[0] = accd[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def band_min(ps, qs, tb: int = 512):
+    """Per-point min d^2 over a ~3*tb rank window of the (sorted) other cloud.
+
+    Both inputs must already be padded to a multiple of tb.  The window for
+    p-tile i is q-tiles clamp(i*ratio + {-1, 0, +1}); clamping duplicates
+    edge visits, which the running min absorbs.
+    """
+    b, n, _ = ps.shape
+    m = qs.shape[1]
+    ni, njq = n // tb, m // tb
+
+    pt = jnp.transpose(jnp.pad(ps, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    qsp = jnp.pad(qs, ((0, 0), (0, 0), (0, 5)))
+
+    def q_index(bi, i, w):
+        center = i * njq // ni
+        return (bi, jnp.clip(center + w - 1, 0, njq - 1), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_band_kernel, tb=tb),
+        grid=(b, ni, 3),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda bi, i, w: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 8), q_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tb), lambda bi, i, w: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, tb), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 10 * b * n * tb,
+            bytes_accessed=4 * b * (8 * n + 8 * m + n),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(pt, qsp)
+    return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# candidate mask + worklist compaction
+# ---------------------------------------------------------------------------
+
+
+def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
+    """[B, nI, nJ] bool: q-kernel-tile J needed by some point of p-tile I.
+
+    lb is computed against fine ft-point q-sub-tiles for tightness, then
+    OR-folded to kernel tiles.  The (1 - 1e-5) factor absorbs f32 rounding
+    of lb so the bound stays sound.
+    """
+    b, n, _ = ps.shape
+    m = qs.shape[1]
+    ni, nj, fpk = n // ktn, m // ktm, ktm // ft
+    qt = qs.reshape(b, nj * fpk, ft, 3)
+    qlo = jnp.min(qt, axis=2).reshape(b, 1, 1, nj, fpk, 3)
+    qhi = jnp.max(qt, axis=2).reshape(b, 1, 1, nj, fpk, 3)
+    pr = ps.reshape(b, ni, ktn, 1, 1, 3)
+    gap = jnp.maximum(jnp.maximum(qlo - pr, pr - qhi), 0.0)
+    lb = jnp.sum(gap * gap, axis=-1)  # [B, nI, ktn, nJ, fpk]
+    ok = lb * (1.0 - 1e-5) <= d_ub.reshape(b, ni, ktn, 1, 1)
+    return jnp.any(ok, axis=(2, 4))
+
+
+def _compact_pairs(cand, k_max: int):
+    """[B, nI, nJ] bool -> (pairs [B, k_max] i32 packed i*nJ+j, count [B]).
+
+    Stable argsort keeps candidate pairs in flat i-major order, so the
+    kernel visits q-tiles in ascending order per p-tile — reproducing the
+    dense scan's across-tile tie-break exactly.  Padding entries beyond
+    count alias pair (0, 0); the kernel never reads them.
+    """
+    b, ni, nj = cand.shape
+    flat = cand.reshape(b, ni * nj)
+    order = jnp.argsort(~flat, axis=1, stable=True)[:, :k_max]
+    count = jnp.sum(flat, axis=1).astype(jnp.int32)
+    real = jnp.arange(k_max)[None, :] < count[:, None]
+    pairs = jnp.where(real, order.astype(jnp.int32), 0)
+    return pairs, count
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident worklist kernel
+# ---------------------------------------------------------------------------
+
+
+def _nn_resident_kernel(cnt_ref, pairs_ref, pt3_ref, qs3_ref,
+                        out_d_ref, out_i_ref, accd, acci, *, tm, tn, nj):
+    """One direction, both clouds VMEM-resident: fori_loop over exactly
+    count[b] candidate pairs (scalar-prefetched), no per-step DMA.
+
+    One-direction on purpose: the fused kernel's [tM, nJ] direction-2
+    accumulator merge costs more VMEM read/write traffic per step than the
+    distance tile itself (measured 1.16 -> 0.36 us/step when dropped —
+    bench/probe_r2_resident.py); two one-direction passes with
+    direction-specific candidate masks are ~2x faster overall.
+    """
+    bi = pl.program_id(0)
+    accd[:] = jnp.full_like(accd, jnp.inf)
+    acci[:] = jnp.zeros_like(acci)
+
+    def body(k, _):
+        v = pairs_ref[bi, k]
+        i = v // nj
+        j = v - i * nj  # noqa: E741
+        p = pt3_ref[0, i]  # [8, tN]
+        q = qs3_ref[0, j]  # [tM, 8]
+        d = jnp.zeros((tm, tn), jnp.float32)
+        for c in range(3):
+            diff = q[:, c : c + 1] - p[c : c + 1, :]
+            d = d + diff * diff
+        m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
+        ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
+                    keepdims=True) + j * tm
+        prev_d = accd[pl.ds(i, 1), :]
+        prev_i = acci[pl.ds(i, 1), :]
+        better = m < prev_d
+        accd[pl.ds(i, 1), :] = jnp.where(better, m, prev_d)
+        acci[pl.ds(i, 1), :] = jnp.where(better, a, prev_i)
+        return 0
+
+    jax.lax.fori_loop(0, cnt_ref[bi], body, 0)
+    out_d_ref[0] = accd[:]
+    out_i_ref[0] = acci[:]
+
+
+def _run_resident(pairs, count, pp, qp, tn, tm):
+    """One-direction resident pass: NN of each pp point among qp points.
+
+    Returns (d [B, n_pad], idx [B, n_pad]) — bitwise equal to the dense
+    scan restricted to the worklist pairs (i-major order preserves the
+    across-tile tie-break).
+    """
+    b, n_pad, _ = pp.shape
+    m_pad = qp.shape[1]
+    ni, nj = n_pad // tn, m_pad // tm
+
+    # [B, nI, 8, tN] / [B, nJ, tM, 8] so tiles are leading-indexable in VMEM
+    pt3 = jnp.transpose(
+        jnp.pad(pp, ((0, 0), (0, 0), (0, 5))).reshape(b, ni, tn, 8),
+        (0, 1, 3, 2),
+    )
+    qs3 = jnp.pad(qp, ((0, 0), (0, 0), (0, 5))).reshape(b, nj, tm, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, ni, 8, tn), lambda bi, cnt, prs: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, tm, 8), lambda bi, cnt, prs: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ni, tn), lambda bi, cnt, prs: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tn), lambda bi, cnt, prs: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ni, tn), jnp.float32),
+            pltpu.VMEM((ni, tn), jnp.int32),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_nn_resident_kernel, tm=tm, tn=tn, nj=nj),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ni, tn), jnp.float32),
+            jax.ShapeDtypeStruct((b, ni, tn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * pairs.shape[1] * tn * tm // 2,
+            bytes_accessed=4 * b * (8 * n_pad + 8 * m_pad + 2 * n_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(count, pairs, pt3, qs3)
+    return out_d.reshape(b, n_pad), out_i.reshape(b, n_pad)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 256,
+                         ft: int = 64, tb: int = 512):
+    """Core of :func:`nndistance_sorted` on clouds ALREADY Morton-sorted.
+
+    Returns (d1 [B,N], i1, d2 [B,M], i2) in the given (sorted) order.
+    """
+    b, n, _ = ps.shape
+    m = qs.shape[1]
+    align = max(tn, tm, tb)
+    n_pad = _round_up(n, align)
+    m_pad = _round_up(m, align)
+    pp = _pad_points_poison(ps, n_pad)
+    qp = _pad_points_poison_neg(qs, m_pad)
+
+    d_ub1 = band_min(pp, qp, tb=tb)  # [B, N'] upper bounds
+    d_ub2 = band_min(qp, pp, tb=tb)  # [B, M']
+
+    cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)  # [B, nI, nJ]
+    cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)  # swapped roles
+
+    def one_dir(cand, rows, cols):
+        ni, nj = cand.shape[1], cand.shape[2]
+        k_max = min(ni * nj, int(_BUDGET_FRAC * ni * nj) + ni)
+        pairs, count = _compact_pairs(cand, k_max)
+        d, i = _run_resident(pairs, jnp.minimum(count, k_max), rows, cols,
+                             tn, tm)
+        return d, i, jnp.any(count > k_max)
+
+    d1, i1, ovf1 = one_dir(cand1, pp, qp)
+    d2, i2, ovf2 = one_dir(cand2, qp, pp)
+
+    def from_resident(_):
+        return d1, i1, d2, i2
+
+    def dense(_):
+        return nn_both_directions(pp, qp, tn=min(1024, n_pad),
+                                  tm=min(512, m_pad))
+
+    rd1, ri1, rd2, ri2 = jax.lax.cond(
+        jnp.logical_or(ovf1, ovf2), dense, from_resident, None
+    )
+    return rd1[:, :n], ri1[:, :n], rd2[:, :m], ri2[:, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
+def nndistance_sorted(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
+                      tb: int = 512):
+    """Bidirectional NN distances in Morton-sorted space.
+
+    Args:
+      p: [B, N, 3]; q: [B, M, 3] (unmasked clouds).
+      tn/tm: kernel tile sizes (row-cloud lanes / column-cloud sublanes).
+      ft: fine sub-tile size for the candidate lower bounds.
+      tb: band-pass tile (window is ~3*tb ranks).
+
+    Returns:
+      (d1 [B,N], i1 [B,N], d2 [B,M], i2 [B,M], perm_p [B,N], perm_q [B,M])
+      where d1/i1 are per SORTED p point (p[perm_p]) with i1 indexing the
+      SORTED q cloud, and vice versa.  Distances are exact f32
+      sum-of-squared-differences, bitwise equal to the dense kernel run on
+      the sorted clouds (ties included; see module docstring).
+    """
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    ps, perm_p = sort_by_morton(p)
+    qs, perm_q = sort_by_morton(q)
+    d1, i1, d2, i2 = nndistance_presorted(ps, qs, tn=tn, tm=tm, ft=ft, tb=tb)
+    return d1, i1, d2, i2, perm_p, perm_q
