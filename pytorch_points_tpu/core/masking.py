@@ -2,7 +2,8 @@
 
 XLA traces each distinct shape once; ragged point clouds therefore become
 (padded array, boolean mask) pairs.  Two invariants every op in the
-framework must satisfy (tested in tests/test_masking.py):
+framework must satisfy (consolidated in tests/test_masking.py, with
+finite-difference backward checks in tests/test_gradcheck.py):
 
   1. a padded (invalid) point never wins an argmin / argmax / top-k and is
      never returned as a neighbor index;

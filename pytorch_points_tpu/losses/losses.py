@@ -50,15 +50,21 @@ class ChamferLoss:
                 d = jnp.where(d < self.threshold, d, 0.0)
             if self.percentage < 1.0:
                 n = d.shape[-1]
-                keep = max(1, int(n * self.percentage))
-                # masked points must not crowd the smallest-keep set
                 if mask is not None:
+                    # keep-fraction of the *valid* count (padding must not
+                    # inflate the kept set); masked points sort to the end.
                     d = jnp.where(mask, d, jnp.inf)
+                    valid = jnp.sum(mask, -1)
+                    keep_dyn = jnp.maximum(
+                        (valid * self.percentage).astype(jnp.int32), 1
+                    )
+                    d_sorted = jnp.sort(d, axis=-1)
+                    pos = jnp.arange(n)
+                    sel = pos < keep_dyn[..., None]
+                    d_kept = jnp.where(sel, jnp.where(jnp.isinf(d_sorted), 0.0, d_sorted), 0.0)
+                    return jnp.sum(d_kept, -1) / keep_dyn
+                keep = max(1, int(n * self.percentage))
                 d = jnp.sort(d, axis=-1)[..., :keep]  # smallest `keep`
-                if mask is not None:
-                    valid = jnp.minimum(jnp.sum(mask, -1), keep)
-                    d = jnp.where(jnp.isinf(d), 0.0, d)
-                    return jnp.sum(d, -1) / jnp.maximum(valid, 1)
                 return jnp.mean(d, axis=-1)
             if mask is not None:
                 d = jnp.where(mask, d, 0.0)
@@ -247,22 +253,35 @@ class UniformLoss:
 
     npoint: int = 256
     radii: tuple[float, ...] = (0.004, 0.006, 0.008, 0.010, 0.012)
+    # Kept for reference-API compatibility; counts are exact (uncapped)
+    # since round 2, so nsample no longer limits the chi^2 statistic.
     nsample: int = 32
     reduction: str = "mean"
 
     def __call__(self, xyz, mask=None):
-        from pytorch_points_tpu.ops import ball_query, furthest_point_sample
+        from pytorch_points_tpu.ops import furthest_point_sample
+        from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
         from pytorch_points_tpu.ops.sampling import gather_points
 
-        n = xyz.shape[1]
+        if mask is not None:
+            # expected density counts only the valid points
+            n = jnp.sum(mask, axis=1).astype(jnp.float32)[:, None]
+        else:
+            n = xyz.shape[1]
         fidx = furthest_point_sample(xyz, self.npoint, mask=mask)
         centers = gather_points(xyz, fidx)
+        # Uncapped in-ball counts (ball_query clips counts at nsample,
+        # which would silently under-penalize dense regions once a ball
+        # saturates — the chi^2 needs the true density).
+        d2 = pairwise_sqdist(centers, xyz)  # [B, npoint, N]
+        if mask is not None:
+            d2 = jnp.where(mask[:, None, :], d2, jnp.inf)
         total = 0.0
         import math
 
         for p in self.radii:
             r = math.sqrt(p)  # p = disk-area fraction
-            _, cnt = ball_query(xyz, centers, r, self.nsample, mask=mask)
+            cnt = jnp.sum(d2 < r * r, axis=-1)
             expected = n * p
             chi2 = (cnt.astype(jnp.float32) - expected) ** 2 / expected
             total = total + _reduce(chi2, self.reduction)

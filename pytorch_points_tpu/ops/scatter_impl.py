@@ -38,11 +38,24 @@ def scatter_add_auto(idx, updates, n: int, impl: str = "auto"):
         from pytorch_points_tpu.kernels.scatter import scatter_add_csum
 
         return scatter_add_csum(idx, updates, n)
-    b = idx.shape[0]
+    b, k = idx.shape
     c = updates.shape[-1]
+    # One-hot MXU contraction when the [B,K,n] plane is cheap: XLA's TPU
+    # scatter executes serially per element (~9 ns), so even a few million
+    # updates cost tens of ms, while the equivalent one-hot matmul is a
+    # couple of microseconds.  HIGHEST keeps f32 accuracy (the one-hot
+    # factor is exact in bf16; XLA splits the f32 updates internally).
+    if b * k * n * 4 <= 64 * 1024 * 1024 and b * k * n * c <= 4 * 10**9:
+        import jax
+
+        onehot = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(
+            updates.dtype
+        )  # [B, K, n]
+        return jnp.einsum(
+            "bkm,bkc->bmc", onehot, updates,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # Row-form indexed add (window over C): one scatter row per update,
+    # never the element-wise lowering.
     out = jnp.zeros((b, n, c), updates.dtype)
-    return out.at[
-        jnp.arange(b)[:, None, None],
-        idx[..., None],
-        jnp.arange(c)[None, None, :],
-    ].add(updates)
+    return out.at[jnp.arange(b)[:, None], idx].add(updates)

@@ -421,11 +421,14 @@ def test_trimmed_chamfer_with_mask(rng):
     mask[:, :20] = True
     trimmed = ChamferLoss(percentage=0.5, one_sided=True)
     got = float(trimmed(jnp.asarray(pad_p), jnp.asarray(q), pred_mask=jnp.asarray(mask)))
-    # oracle: smallest 50% of the 20 valid forward distances... keep is
-    # computed on padded length (32*0.5=16 of 20 valid)
+    # oracle: smallest 50% of the 20 *valid* forward distances — the keep
+    # fraction is of the valid count, so padding cannot change the loss
     import oracles
 
     d1, _, _, _ = oracles.nndistance(p, q)
-    keep = 16
+    keep = 10  # int(20 * 0.5)
     want = float(np.sort(d1[0])[:keep].mean())
     np.testing.assert_allclose(got, want, rtol=1e-5)
+    # invariance: same clouds without padding give the same loss
+    got_clean = float(trimmed(jnp.asarray(p), jnp.asarray(q)))
+    np.testing.assert_allclose(got, got_clean, rtol=1e-5)
