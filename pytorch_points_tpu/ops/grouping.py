@@ -59,6 +59,37 @@ def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
         return _knn_xla(query, support_p, k)
 
 
+def duplicate_shadow_mask(points, valid_mask=None):
+    """True for points that duplicate an earlier (lower-index) point.
+
+    Exact coordinate duplicates only; the lowest-index copy of each
+    duplicate group is NOT flagged.  O(N log N): lexicographic sort on the
+    coordinates, segment-min of the original indices over equal runs.
+    """
+    b, n, c = points.shape
+    pts = jnp.asarray(points)
+    if valid_mask is not None:
+        # poison invalid rows uniquely so they never form duplicate runs
+        poison = (
+            jnp.float32(1e8)
+            + jnp.arange(n, dtype=jnp.float32)[None, :, None]
+        )
+        pts = jnp.where(valid_mask[..., None], pts, poison)
+
+    def per_cloud(p):
+        order = jnp.lexsort(tuple(p[:, d] for d in range(c - 1, -1, -1)))
+        ps = p[order]  # sorted by coords
+        new_run = jnp.concatenate(
+            [jnp.ones((1,), bool), jnp.any(ps[1:] != ps[:-1], axis=-1)]
+        )
+        run_id = jnp.cumsum(new_run) - 1  # [N] segment per distinct coord
+        run_min = jax.ops.segment_min(order, run_id, num_segments=n)
+        shadow_sorted = order != run_min[run_id]
+        return jnp.zeros((n,), bool).at[order].set(shadow_sorted)
+
+    return jax.vmap(per_cloud)(pts)
+
+
 def group_knn(k: int, query, support, support_features=None, support_mask=None,
               unique: bool = True, impl: str = "auto"):
     """Reference-style composite: kNN then group coordinates (and features).
@@ -66,11 +97,22 @@ def group_knn(k: int, query, support, support_features=None, support_mask=None,
     Mirrors ``pytorch_points.network.operations.group_knn`` (SURVEY.md §3.2
     P1) in channels-last layout.
 
+    ``unique=True`` (the reference default) guarantees the k returned
+    neighbors are pairwise-distinct *coordinates*: exact duplicate support
+    points are masked down to their lowest-index copy before the search
+    (the reference flag exists because duplicated points — e.g. from
+    padding or upsampling — would otherwise crowd the neighborhood).
+    Requires >= k distinct valid support points per cloud.
+
     Returns:
       (grouped_xyz [B, Nq, k, 3], idx [B, Nq, k], dist [B, Nq, k])
       or, with features, (grouped_features, idx, dist).
     """
-    del unique  # distances from a metric are unique per index by construction
+    if unique:
+        shadow = duplicate_shadow_mask(support, support_mask)
+        support_mask = (
+            ~shadow if support_mask is None else support_mask & ~shadow
+        )
     dist, idx = knn(query, support, k, support_mask=support_mask, impl=impl)
     grouped = group_points(
         support if support_features is None else support_features, idx

@@ -101,36 +101,101 @@ def _read_off(path):
     return verts, np.asarray(faces, np.int32)
 
 
+_PLY_NP = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
 def _read_ply_mesh(path):
-    # ascii PLY with vertex + face elements
+    # PLY with vertex + face elements: ascii, binary_little_endian and
+    # binary_big_endian all supported (the reference read meshes through
+    # openmesh, which handles every PLY flavor — SURVEY.md §3.2 P6).
     with open(path, "rb") as f:
-        data = f.read()
-    text = data.decode("ascii", "replace")
-    head, _, body = text.partition("end_header\n")
-    if "format ascii" not in head:
-        raise ValueError("only ascii PLY meshes supported (binary: use .obj)")
-    nv = nf = 0
-    n_vprops = 0
-    in_vertex = False
-    for line in head.splitlines():
-        t = line.split()
-        if not t:
-            continue
-        if t[0] == "element":
-            in_vertex = t[1] == "vertex"
-            if t[1] == "vertex":
-                nv = int(t[2])
-            elif t[1] == "face":
-                nf = int(t[2])
-        elif t[0] == "property" and in_vertex and t[1] != "list":
-            n_vprops += 1
-    lines = body.splitlines()
-    vdata = np.loadtxt(lines[:nv], dtype=np.float32).reshape(nv, n_vprops)
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        nv = nf = 0
+        vprops = []  # (name, np dtype char)
+        flist = None  # (count dtype, index dtype)
+        element = None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unexpected EOF in header")
+            t = line.decode("ascii", "replace").strip().split()
+            if not t:
+                continue
+            if t[0] == "format":
+                fmt = t[1]
+            elif t[0] == "element":
+                element = t[1]
+                if element == "vertex":
+                    nv = int(t[2])
+                elif element == "face":
+                    nf = int(t[2])
+            elif t[0] == "property":
+                if element == "vertex":
+                    if t[1] == "list":
+                        raise ValueError("list property in vertex element")
+                    vprops.append((t[2], _PLY_NP[t[1]]))
+                elif element == "face" and t[1] == "list":
+                    flist = (_PLY_NP[t[2]], _PLY_NP[t[3]])
+            elif t[0] == "end_header":
+                break
+        body = f.read()
+
+    if fmt == "ascii":
+        lines = body.decode("ascii", "replace").splitlines()
+        vdata = np.loadtxt(lines[:nv], dtype=np.float32).reshape(
+            nv, len(vprops)
+        )
+        names = [n for n, _ in vprops]
+        verts = vdata[:, [names.index("x"), names.index("y"), names.index("z")]]
+        faces = []
+        for line in lines[nv : nv + nf]:
+            t = [int(x) for x in line.split()]
+            faces.extend(_triangulate(t[1 : 1 + t[0]]))
+        return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+    order = "<" if fmt == "binary_little_endian" else ">"
+    vdt = np.dtype([(n, order + d) for n, d in vprops])
+    vraw = np.frombuffer(body, dtype=vdt, count=nv)
+    verts = np.stack(
+        [vraw["x"], vraw["y"], vraw["z"]], -1
+    ).astype(np.float32)
+    if flist is None or nf == 0:
+        return verts, np.zeros((0, 3), np.int32)
+    cdt = np.dtype(order + flist[0])
+    idt = np.dtype(order + flist[1])
+    fbytes = body[vdt.itemsize * nv :]
+    # Fast path: uniform arity (peek the first count; verify total size).
+    n0 = int(np.frombuffer(fbytes, dtype=cdt, count=1)[0])
+    stride = cdt.itemsize + n0 * idt.itemsize
+    if len(fbytes) >= nf * stride:
+        rec = np.frombuffer(fbytes, count=nf, dtype=np.dtype(
+            [("n", cdt), ("v", idt, (n0,))]
+        ))
+        if (rec["n"] == n0).all():
+            polys = rec["v"].astype(np.int64)
+            if n0 == 3:
+                return verts, polys.astype(np.int32)
+            faces = []
+            for poly in polys:
+                faces.extend(_triangulate(poly.tolist()))
+            return verts, np.asarray(faces, np.int32)
+    # Mixed arity: walk face by face.
     faces = []
-    for line in lines[nv : nv + nf]:
-        t = [int(x) for x in line.split()]
-        faces.extend(_triangulate(t[1 : 1 + t[0]]))
-    return vdata[:, :3], np.asarray(faces, np.int32)
+    off = 0
+    for _ in range(nf):
+        k = int(np.frombuffer(fbytes, dtype=cdt, count=1, offset=off)[0])
+        off += cdt.itemsize
+        poly = np.frombuffer(fbytes, dtype=idt, count=k, offset=off)
+        off += k * idt.itemsize
+        faces.extend(_triangulate(poly.tolist()))
+    return verts, np.asarray(faces, np.int32)
 
 
 # ---------------------------------------------------------------------------

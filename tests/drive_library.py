@@ -83,4 +83,23 @@ ckdir = tempfile.mkdtemp()
 save_network(params, ckdir, step=1)
 restored, _ = load_network(params, ckdir, step=1)
 print("checkpoint roundtrip ok")
+
+# 5. group_knn unique semantics + binary mesh I/O (round-2 surface)
+import os
+
+from pytorch_points_tpu.ops import group_knn
+from pytorch_points_tpu.utils import geometry_utils
+
+q5 = np.asarray(rng.standard_normal((1, 4, 3)), np.float32)
+s5 = np.asarray(rng.standard_normal((1, 16, 3)), np.float32)
+s5[0, 5] = s5[0, 2]  # exact duplicate
+_, idx5, _ = group_knn(4, jnp.asarray(q5), jnp.asarray(s5), unique=True)
+assert not ((np.asarray(idx5) == 2).any(-1) & (np.asarray(idx5) == 5).any(-1)).any()
+verts5, faces5 = geometry_utils.generate_icosphere(1)
+with tempfile.TemporaryDirectory() as td:
+    mp = os.path.join(td, "m.ply")
+    geometry_utils.write_mesh(mp, verts5, faces5)
+    v5r, f5r = geometry_utils.read_mesh(mp)
+    assert np.allclose(v5r, verts5, atol=1e-5) and (f5r == faces5).all()
+print("group_knn unique + mesh io ok")
 print("DRIVE OK")

@@ -94,6 +94,38 @@ def test_group_knn_composite(rng):
     )
 
 
+def test_group_knn_unique_dedups_duplicate_points(rng):
+    """unique=True: exact duplicate support points are returned at most
+    once (lowest-index copy); unique=False returns them all."""
+    q = rng.standard_normal((1, 4, 3)).astype(np.float32)
+    s = rng.standard_normal((1, 20, 3)).astype(np.float32)
+    # make points 7, 12, 15 exact copies of point 3, adjacent to query 0
+    s[0, 3] = q[0, 0] + 0.01
+    for j in (7, 12, 15):
+        s[0, j] = s[0, 3]
+    sj, qj = jnp.asarray(s), jnp.asarray(q)
+
+    _, idx_dup, _ = group_knn(4, qj, sj, unique=False)
+    assert 3 in np.asarray(idx_dup)[0, 0]
+    assert 7 in np.asarray(idx_dup)[0, 0]  # duplicates crowd the hood
+
+    grouped, idx, dist = group_knn(4, qj, sj, unique=True)
+    row = np.asarray(idx)[0, 0]
+    assert 3 in row and not ({7, 12, 15} & set(row.tolist()))
+    coords = np.asarray(grouped)[0, 0]
+    assert len({tuple(c) for c in coords.tolist()}) == 4  # distinct coords
+
+    # with a validity mask: masked-out canonical copy promotes nothing —
+    # the duplicate group's lowest *valid* index is dedup-canonical
+    mask = np.ones((1, 20), bool)
+    mask[0, 3] = False
+    _, idx_m, _ = group_knn(4, qj, sj, support_mask=jnp.asarray(mask),
+                            unique=True)
+    row_m = set(np.asarray(idx_m)[0, 0].tolist())
+    assert 3 not in row_m
+    assert len({7, 12, 15} & row_m) == 1
+
+
 def test_sample_and_group_shapes_and_semantics(rng):
     xyz = rng.uniform(-1, 1, size=(2, 128, 3)).astype(np.float32)
     feats = rng.standard_normal((2, 128, 8), dtype=np.float32)

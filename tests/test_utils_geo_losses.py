@@ -90,6 +90,54 @@ def test_mesh_io_roundtrip(tmp_path):
         np.testing.assert_array_equal(f2, faces)
 
 
+def test_binary_ply_mesh_read(tmp_path):
+    """Binary little/big-endian PLY meshes (tri fast path + mixed arity)."""
+    verts, faces = geometry_utils.generate_icosphere(1)
+    for order, fmt in (("<", "binary_little_endian"), (">", "binary_big_endian")):
+        p = tmp_path / f"bin_{fmt}.ply"
+        with open(p, "wb") as f:
+            f.write(
+                (
+                    f"ply\nformat {fmt} 1.0\n"
+                    f"element vertex {len(verts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    f"element face {len(faces)}\n"
+                    "property list uchar int vertex_indices\nend_header\n"
+                ).encode()
+            )
+            f.write(verts.astype(order + "f4").tobytes())
+            for tri in faces:
+                f.write(np.uint8(3).tobytes())
+                f.write(tri.astype(order + "i4").tobytes())
+        v2, f2 = geometry_utils.read_mesh(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+    # mixed arity: one quad + one triangle, quad fan-triangulated
+    quadverts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [2, 0, 0]], np.float32
+    )
+    p = tmp_path / "mixed.ply"
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 5\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face 2\n"
+            b"property list uchar int vertex_indices\nend_header\n"
+        )
+        f.write(quadverts.astype("<f4").tobytes())
+        f.write(np.uint8(4).tobytes())
+        f.write(np.array([0, 1, 2, 3], "<i4").tobytes())
+        f.write(np.uint8(3).tobytes())
+        f.write(np.array([1, 4, 2], "<i4").tobytes())
+    v2, f2 = geometry_utils.read_mesh(p)
+    np.testing.assert_allclose(v2, quadverts, atol=1e-6)
+    np.testing.assert_array_equal(
+        f2, np.array([[0, 1, 2], [0, 2, 3], [1, 4, 2]], np.int32)
+    )
+
+
 def test_grid_mesh():
     verts, faces = geometry_utils.generate_grid_mesh(4, 5)
     assert verts.shape == (20, 3)
