@@ -96,6 +96,41 @@ def main():
     )
     details["config4_emd_B32_N2048_ms"] = round(measure(f4, p4, q4) * 1e3, 1)
 
+    # EMD assignment quality vs the Hungarian optimum (scipy oracle) on
+    # gaussian-mixture (clustered) AND standard-normal clouds — mean
+    # matched d^2, excess over optimal in percent.
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        def gmm(b, npts, k=8, spread=0.15):
+            centers = rng.uniform(-1, 1, (b, k, 3))
+            which = rng.integers(0, k, (b, npts))
+            return (
+                centers[np.arange(b)[:, None], which]
+                + spread * rng.standard_normal((b, npts, 3))
+            ).astype(np.float32)
+
+        for name, pa, qa in (
+            ("normal", np.asarray(p4[:2]), np.asarray(q4[:2])),
+            ("gmm", gmm(2, 2048), gmm(2, 2048)),
+        ):
+            got = float(jnp.mean(f4(jnp.asarray(pa), jnp.asarray(qa))))
+            opts = []
+            for bi in range(2):
+                d2 = ((pa[bi, :, None, :] - qa[bi, None, :, :]) ** 2).sum(
+                    -1
+                ).astype(np.float64)
+                r, c = linear_sum_assignment(d2)
+                opts.append(d2[r, c].mean())
+            opt = float(np.mean(opts))
+            details[f"config4_emd_quality_{name}"] = {
+                "mean_d2": round(got, 5),
+                "optimal": round(opt, 5),
+                "excess_pct": round(100 * (got - opt) / opt, 2),
+            }
+    except ImportError:
+        pass
+
     # --- Config 5: full SA+FP stack training step with Chamfer+EMD ------
     import optax
     from flax import nnx
@@ -114,9 +149,7 @@ def main():
             m = nnx.merge(graphdef, params)
             pred = m(xyz)
             cd = ppt.chamfer_distance(pred, xyz)
-            emd, _ = ppt.earth_mover_distance(
-                pred, xyz, eps=0.005, max_iters=30, phases=2
-            )
+            emd, _ = ppt.earth_mover_distance(pred, xyz)
             return cd + 0.1 * jnp.mean(emd)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -82,8 +82,8 @@ class EMDLoss:
     """Auction-EMD loss (mean matched squared distance)."""
 
     eps: float = 0.005
-    max_iters: int = 50
-    phases: int = 4
+    max_iters: int = 15
+    phases: int = 3
     reduction: str = "mean"
 
     def __call__(self, pred, gt):

@@ -80,3 +80,29 @@ def test_emd_vmap_of_grad(rng):
     for i in range(2):
         gi = jax.grad(lambda pp: loss(pp, jnp.asarray(q[i])))(jnp.asarray(p[i]))
         np.testing.assert_allclose(np.asarray(g[i]), np.asarray(gi), atol=1e-6)
+
+
+def test_auction_eps_cs_bound(rng):
+    """The auction guarantees cost <= optimal + n*eps (eps-complementary
+    slackness), even when the per-phase budget leaves stragglers — the
+    residual kernel finishes them at the final eps (never greedily)."""
+    from scipy.optimize import linear_sum_assignment
+
+    n, eps = 96, 0.02
+    p = rng.standard_normal((2, n, 3)).astype(np.float32)
+    q = rng.standard_normal((2, n, 3)).astype(np.float32)
+    # tiny budget: the main kernel cannot converge -> residual path taken.
+    # impl="pallas": the guarantee belongs to the kernel path (the XLA
+    # fallback is a correctness-only flat-eps loop with greedy completion).
+    _, assign = earth_mover_distance(
+        jnp.asarray(p), jnp.asarray(q), eps=eps, max_iters=2, phases=2,
+        impl="pallas",
+    )
+    a = np.asarray(assign)
+    for b in range(2):
+        d2 = ((p[b, :, None, :] - q[b, None, :, :]) ** 2).sum(-1).astype(np.float64)
+        r, c = linear_sum_assignment(d2)
+        opt = d2[r, c].sum()
+        cost = d2[np.arange(n), a[b]].sum()
+        assert sorted(a[b].tolist()) == list(range(n))  # permutation
+        assert cost <= opt + n * eps + 1e-3, (cost, opt, opt + n * eps)

@@ -480,3 +480,20 @@ def test_trimmed_chamfer_with_mask(rng):
     # invariance: same clouds without padding give the same loss
     got_clean = float(trimmed(jnp.asarray(p), jnp.asarray(q)))
     np.testing.assert_allclose(got, got_clean, rtol=1e-5)
+
+
+def test_chamfer_loss_threshold(rng):
+    """threshold: distances >= threshold contribute 0 (outlier cut),
+    denominator unchanged — lineage semantics, see PARITY.md audit."""
+    p = rng.standard_normal((1, 12, 3)).astype(np.float32)
+    q = rng.standard_normal((1, 9, 3)).astype(np.float32)
+    import oracles
+
+    d1, _, d2, _ = oracles.nndistance(p, q)
+    thr = float(np.median(d1))
+    loss = ChamferLoss(threshold=thr)
+    got = float(loss(jnp.asarray(p), jnp.asarray(q)))
+    want = float(
+        np.where(d1 < thr, d1, 0.0).mean() + np.where(d2 < thr, d2, 0.0).mean()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
