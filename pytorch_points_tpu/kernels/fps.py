@@ -8,6 +8,11 @@ TPU mapping decisions (vs the reference's one-CUDA-block-per-batch design):
   * Coordinates live as three [B, N] planes and the running min-distance
     stays resident in VMEM across all k steps (the CUDA kernel's
     shared-memory array, scaled up).
+  * Each step processes the planes in [B, cs] column chunks (two passes:
+    update+max, then argmin+coord-extract) so the register live-set stays
+    bounded — full-plane ops at N=131072 spilled ~100 MB of registers.
+    VMEM residency covers B*N*4 plane bytes up to ~20 MB; larger batches
+    are split into row groups, so any N <= ~650k runs the Pallas path.
   * The selected point's coordinates are extracted with a one-hot masked
     reduction (iota == sel) — per-row dynamic lane indexing does not
     vectorize on the VPU.
@@ -27,49 +32,90 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pytorch_points_tpu.core.masking import BIG_COORD
 from pytorch_points_tpu.kernels.dispatch import interpret_mode
 
 _IDX_BIG = 2**30
 
 
-def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k):
-    x = xyz_ref[0]  # [B, N]
-    y = xyz_ref[1]
-    z = xyz_ref[2]
+def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
     mind_ref[:] = init_ref[:]
-    b, n = x.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    _, b, n = xyz_ref.shape
+    nchunks = n // cs
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, cs), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    def body(j, _):
-        mind = mind_ref[:]
-        m = jnp.max(mind, axis=1, keepdims=True)  # [B, 1]
-        cand = jnp.where(mind == m, iota, _IDX_BIG)
-        sel = jnp.min(cand, axis=1, keepdims=True)  # [B, 1] lowest-index tie
-        # One-hot lane write (dynamic single-lane vector stores don't lower
-        # on Mosaic; this full-plane select is cheap since k << N).
-        out_ref[:] = jnp.where(iota_k == j, sel, out_ref[:])
-        onehot = iota == sel
-        sx = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
-        sy = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
-        sz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
-        dx = x - sx
-        dy = y - sy
-        dz = z - sz
-        d = dx * dx + dy * dy + dz * dz
-        mind_ref[:] = jnp.minimum(mind, d)
-        return 0
+    def body(j, carry):
+        # carry: coords of the previously selected point per batch row.
+        # At j=0 it is a far-away poison point: the min() update leaves
+        # the (uniform) init values intact, so the argmax still selects
+        # the first valid index — the reference seeding.
+        sx, sy, sz = carry
 
-    jax.lax.fori_loop(0, k, body, 0)
+        # pass 1: fold the distance to the previous point into the
+        # running min-distance, tracking the global max per batch row.
+        def p1(c, m_run):
+            sl = pl.ds(c * cs, cs)
+            dx = xyz_ref[0, :, sl] - sx
+            dy = xyz_ref[1, :, sl] - sy
+            dz = xyz_ref[2, :, sl] - sz
+            d = dx * dx + dy * dy + dz * dz
+            mc = jnp.minimum(mind_ref[:, sl], d)
+            mind_ref[:, sl] = mc
+            return jnp.maximum(m_run, jnp.max(mc, axis=1, keepdims=True))
+
+        m = jax.lax.fori_loop(
+            0, nchunks, p1, jnp.full((b, 1), -jnp.inf, jnp.float32)
+        )
+
+        # pass 2: lowest index attaining the max + its coordinates.
+        def p2(c, carry2):
+            sel_run, nx, ny, nz = carry2
+            sl = pl.ds(c * cs, cs)
+            mc = mind_ref[:, sl]
+            ic = iota_c + c * cs
+            cand = jnp.where(mc == m, ic, _IDX_BIG)
+            sel_c = jnp.min(cand, axis=1, keepdims=True)  # [B,1]
+            onehot = ic == sel_c
+            xx = jnp.sum(jnp.where(onehot, xyz_ref[0, :, sl], 0.0), 1,
+                         keepdims=True)
+            yy = jnp.sum(jnp.where(onehot, xyz_ref[1, :, sl], 0.0), 1,
+                         keepdims=True)
+            zz = jnp.sum(jnp.where(onehot, xyz_ref[2, :, sl], 0.0), 1,
+                         keepdims=True)
+            take = sel_c < sel_run
+            return (
+                jnp.minimum(sel_run, sel_c),
+                jnp.where(take, xx, nx),
+                jnp.where(take, yy, ny),
+                jnp.where(take, zz, nz),
+            )
+
+        sel, nx, ny, nz = jax.lax.fori_loop(
+            0, nchunks, p2,
+            (jnp.full((b, 1), _IDX_BIG, jnp.int32),
+             jnp.zeros((b, 1), jnp.float32),
+             jnp.zeros((b, 1), jnp.float32),
+             jnp.zeros((b, 1), jnp.float32)),
+        )
+        # One-hot lane write (dynamic single-lane vector stores don't
+        # lower on Mosaic; this full-plane select is cheap since k << N).
+        out_ref[:] = jnp.where(iota_k == j, sel, out_ref[:])
+        return nx, ny, nz
+
+    poison = jnp.full((b, 1), BIG_COORD * 4.0, jnp.float32)
+    jax.lax.fori_loop(0, k, body, (poison, poison, poison))
 
 
 def _round_up(v, m):
     return -(-v // m) * m
 
 
-# VMEM budget: 3 coord planes + init + mind + temporaries, f32.
-_MAX_PLANE_BYTES = 16 * 1024 * 1024  # per [B, N] f32 plane (v5e VMEM ~128MB)
+# Per-[B, N] f32 plane budget: 5 planes stay resident (x, y, z, init,
+# mind) plus bounded [B, cs] chunk temporaries — 20 MB/plane tops out
+# around 104 MB of v5e's 128 MB VMEM.
+_MAX_PLANE_BYTES = 20 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -83,10 +129,15 @@ def furthest_point_sample(xyz, k: int, mask=None):
     bp = _round_up(b, 8)
     np_ = _round_up(n, 128)
     if bp * np_ * 4 > _MAX_PLANE_BYTES:
-        # Split the batch; each chunk still vectorizes fully.
+        # Split the batch; each row group still vectorizes fully.
         rows = max(8, _MAX_PLANE_BYTES // (np_ * 4) // 8 * 8)
-        if rows < 8 or np_ * 4 * 8 > _MAX_PLANE_BYTES:
-            # N too large for VMEM residency — XLA fallback.
+        if rows >= b:
+            rows = max(8, b // 2 // 8 * 8)  # force a real split
+        if np_ * 4 * 8 > _MAX_PLANE_BYTES:
+            # A single 8-row group exceeds VMEM residency (N > ~650k):
+            # XLA fallback (correct, slower).  Streaming N through HBM
+            # per step would be bandwidth-bound at ~20 bytes/point/step —
+            # implement if such clouds ever matter.
             from pytorch_points_tpu.ops.sampling import _fps_xla
 
             return _fps_xla(xyz, k, mask)
@@ -116,8 +167,14 @@ def furthest_point_sample(xyz, k: int, mask=None):
         jnp.transpose(xyz, (2, 0, 1)), ((0, 0), (0, bp - b), (0, np_ - n))
     )  # [3, B', N']
 
+    # Chunk size: bounded register live-set (~[B, cs] x handful of
+    # temporaries); whole plane when it is already small.
+    cs = np_
+    while bp * cs > 524288 and cs % 256 == 0:
+        cs //= 2
+
     out = pl.pallas_call(
-        functools.partial(_fps_kernel, k=k),
+        functools.partial(_fps_kernel, k=k, cs=cs),
         out_shape=jax.ShapeDtypeStruct((bp, k), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -126,11 +183,10 @@ def furthest_point_sample(xyz, k: int, mask=None):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bp, np_), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # coord planes + init + mind + per-step temporaries; the
-            # default scoped limit is only 16 MB (v5e VMEM: 128 MB)
+            # 5 resident planes + chunk temporaries (v5e VMEM: 128 MB)
             vmem_limit_bytes=min(
-                112 * 1024 * 1024, max(32, 12 * bp * np_ * 4 // (1 << 20) + 8)
-                * 1024 * 1024,
+                120 * 1024 * 1024,
+                max(32, 6 * bp * np_ * 4 // (1 << 20) + 16) * 1024 * 1024,
             ),
         ),
         cost_estimate=pl.CostEstimate(
