@@ -1,0 +1,132 @@
+"""End-to-end on real (on-disk) data: generate a small PLY dataset of
+deformed template meshes with VARIABLE point counts, train the flagship
+autoencoder through the full stack — PlyFolderDataset -> BucketedBatcher
+(static-shape buckets + masks) -> Trainer (SPMD step, checkpointing, NaN
+guard) — and report reconstruction metrics (chamfer-L1, f-score).
+
+Exercises the pipeline the reference's downstream projects used
+(SURVEY.md §5 integration tier): real files, ragged sizes, masked losses,
+eval metrics.
+
+    python examples/train_on_ply_dataset.py --steps 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import pytorch_points_tpu as ppt
+from pytorch_points_tpu.data import BucketedBatcher, PlyFolderDataset
+from pytorch_points_tpu.losses.metrics import chamfer_l1, fscore
+from pytorch_points_tpu.utils import geometry_utils, pc_utils
+from pytorch_points_tpu.utils.trainer import Trainer
+
+
+def make_dataset(root: str, count: int = 24, seed: int = 0):
+    """Write `count` PLY clouds: icosphere / grid templates under random
+    smooth deformations, each sampled at a random size (ragged N)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    sphere, _ = geometry_utils.generate_icosphere(3)  # 642 verts
+    grid, _ = geometry_utils.generate_grid_mesh(26, 26)  # 676 verts
+    for i in range(count):
+        base = sphere if i % 2 == 0 else grid
+        # smooth low-frequency deformation
+        freq = rng.uniform(1.0, 3.0, (3,))
+        amp = rng.uniform(0.1, 0.35)
+        phase = rng.uniform(0, 2 * np.pi, (3,))
+        pts = base + amp * np.sin(base * freq + phase)
+        # ragged sizes: random subset of the vertices
+        n = int(rng.integers(380, len(pts)))
+        idx = rng.choice(len(pts), n, replace=False)
+        pc_utils.save_ply(pts[idx].astype(np.float32),
+                          os.path.join(root, f"cloud_{i:03d}.ply"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--data", type=str, default=None,
+                    help="PLY folder (default: generate a synthetic one)")
+    ap.add_argument("--count", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+
+    # the Trainer shards the batch over every device
+    ndev = jax.device_count()
+    args.batch = max(args.batch, ndev) // ndev * ndev
+
+    root = args.data
+    tmp = None
+    if root is None:
+        tmp = tempfile.mkdtemp(prefix="ppt_ply_")
+        make_dataset(tmp, count=args.count)
+        root = tmp
+    ds = PlyFolderDataset(root)
+    batcher = BucketedBatcher(ds, batch_size=args.batch, multiple=128,
+                              max_buckets=2, shuffle=True, seed=0,
+                              drop_remainder=True)
+    print(f"dataset: {len(ds)} clouds from {root}")
+
+    from flax import nnx
+
+    from pytorch_points_tpu.models import PointCloudAutoencoder
+
+    model = PointCloudAutoencoder(npoint1=96, npoint2=24, rngs=nnx.Rngs(0))
+
+    def loss_fn(m, batch):
+        pts, mask = batch["points"], batch["mask"]
+        pred = m(pts, mask=mask)
+        return ppt.chamfer_distance(pred, pts, p_mask=mask, q_mask=mask)
+
+    ckpt = tempfile.mkdtemp(prefix="ppt_ckpt_")
+    trainer = Trainer(model, optax.adam(2e-3), loss_fn, ckpt_dir=ckpt,
+                      log_every=20, ckpt_every=10**9)
+
+    def epochs():
+        while True:
+            for batch in batcher:
+                yield {"points": jnp.asarray(batch["points"]),
+                       "mask": jnp.asarray(batch["mask"])}
+
+    gen = epochs()
+    first_loss = trainer.fit([next(gen)], steps=1)
+    t0 = time.time()
+    final_loss = trainer.fit(gen, steps=args.steps)
+    dt = time.time() - t0
+    print(f"{args.steps} steps in {dt:.1f}s "
+          f"({dt/max(args.steps - 1, 1)*1e3:.0f} ms/step); "
+          f"loss {first_loss:.4f} -> {final_loss:.4f}")
+
+    # reconstruction metrics over the dataset with the trained params
+    from flax import nnx as _nnx
+
+    graphdef, _, rest = _nnx.split(model, _nnx.Param, ...)
+    m = _nnx.merge(graphdef, trainer.state.params, trainer.state.rest)
+    cl1s, fss = [], []
+    for batch in batcher:
+        pts = jnp.asarray(batch["points"])
+        mask = jnp.asarray(batch["mask"])
+        pred = m(pts, mask=mask)
+        cl1s.append(float(jnp.mean(chamfer_l1(pred, pts, p_mask=mask,
+                                              q_mask=mask))))
+        f, _, _ = fscore(pred, pts, threshold=0.05, pred_mask=mask,
+                         gt_mask=mask)
+        fss.append(float(jnp.mean(f)))
+    print(f"metrics: chamfer-L1 {np.mean(cl1s):.4f}  "
+          f"f-score@0.05 {np.mean(fss):.3f}")
+    assert final_loss < first_loss, "training did not reduce the loss"
+    return first_loss, final_loss, float(np.mean(cl1s)), float(np.mean(fss))
+
+
+if __name__ == "__main__":
+    main()

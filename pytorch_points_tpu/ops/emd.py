@@ -30,11 +30,34 @@ _NEG = jnp.float32(-1e30)
 
 def _auction_xla(p, q, eps, max_iters):
     b, n, _ = p.shape
-    d2 = pairwise_sqdist(p, q)  # [B, N(person), N(object)]
-    value = -d2
     barange = jnp.arange(b)[:, None]
     person_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     obj_ids = person_ids
+
+    # Person-chunked top-2: never materializes a [B, N, N] plane per
+    # iteration (that cost ~0.5 GB/iteration at B=32 N=2048) — distances
+    # are recomputed from coordinates per [B, cs, N] chunk.
+    cs = n
+    for cand in (512, 256, 128):
+        if n > 1024 and n % cand == 0:
+            cs = cand
+            break
+
+    def top2_fn(price):
+        if cs == n:
+            net = -pairwise_sqdist(p, q) - price[:, None, :]
+            return jax.lax.top_k(net, 2)
+        pc = jnp.transpose(
+            p.reshape(b, n // cs, cs, 3), (1, 0, 2, 3)
+        )  # [C, B, cs, 3]
+
+        def f(pck):
+            net = -pairwise_sqdist(pck, q) - price[:, None, :]
+            return jax.lax.top_k(net, 2)
+
+        t2, ti = jax.lax.map(f, pc)  # [C, B, cs, 2]
+        merge = lambda x: jnp.transpose(x, (1, 0, 2, 3)).reshape(b, n, 2)
+        return merge(t2), merge(ti)
 
     def cond(state):
         it, assign, _, _ = state
@@ -42,8 +65,7 @@ def _auction_xla(p, q, eps, max_iters):
 
     def body(state):
         it, assign, owner, price = state
-        net = value - price[:, None, :]  # [B, N, N]
-        top2, top2_idx = jax.lax.top_k(net, 2)
+        top2, top2_idx = top2_fn(price)
         v1 = top2[..., 0]
         v2 = top2[..., 1]
         target = top2_idx[..., 0].astype(jnp.int32)  # [B, N] object each person wants
@@ -93,9 +115,8 @@ def _auction_xla(p, q, eps, max_iters):
         it, assign, owner = state
         unassigned_p = assign < 0  # [B, N]
         pi = jnp.argmax(unassigned_p, axis=1).astype(jnp.int32)  # first unassigned
-        row = jnp.take_along_axis(value, pi[:, None, None], 1)[
-            :, 0, :
-        ]  # [B, N]
+        psel = jnp.take_along_axis(p, pi[:, None, None], axis=1)  # [B,1,3]
+        row = -jnp.sum((psel - q) ** 2, axis=-1)  # [B, N] benefit row
         free_obj = owner < 0
         masked = jnp.where(free_obj, row, _NEG)
         oj = jnp.argmax(masked, axis=1).astype(jnp.int32)

@@ -35,6 +35,54 @@ def _knn_xla(query, support, k):
     return -neg_d, idx.astype(jnp.int32)
 
 
+def _knn_forward(query, support, k, impl):
+    resolved = dispatch.resolve(impl, "knn")
+    with jax.named_scope("ppt.knn"):
+        if resolved == "pallas":
+            from pytorch_points_tpu.kernels import topk_scan
+
+            return topk_scan.knn(query, support, k)
+        return _knn_xla(query, support, k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _knn_op(query, support, k, impl):
+    # custom_vjp with the neighbor set locally constant: gradients flow
+    # through the k squared distances to both clouds (the Pallas kernel
+    # has no AD rule, and even the XLA path's top_k VJP would be a slower
+    # route to the same thing).  kNN-graph losses (Laplacian, repulsion)
+    # differentiate through this on TPU.
+    return _knn_forward(query, support, k, impl)
+
+
+def _knn_op_fwd(query, support, k, impl):
+    dist, idx = _knn_forward(query, support, k, impl)
+    return (dist, idx), (query, support, idx)
+
+
+def _knn_op_bwd(k, impl, res, g):
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    query, support, idx = res
+    gd, _ = g  # [B, Nq, k]
+    b, nq, _ = query.shape
+    ns = support.shape[1]
+    sel = jnp.take_along_axis(
+        support, idx.reshape(b, nq * k)[..., None], axis=1
+    ).reshape(b, nq, k, -1)
+    diff = query[:, :, None, :] - sel  # [B, Nq, k, C]
+    gq = jnp.sum(2.0 * gd[..., None] * diff, axis=2)
+    gs = scatter_add_auto(
+        idx.reshape(b, nq * k),
+        (-2.0 * gd[..., None] * diff).reshape(b, nq * k, -1),
+        ns,
+    )
+    return gq, gs
+
+
+_knn_op.defvjp(_knn_op_fwd, _knn_op_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "impl"))
 def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
     """k nearest neighbors of each query point among the support points.
@@ -48,15 +96,11 @@ def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
 
     Returns:
       (dist [B, Nq, k] squared distances ascending, idx [B, Nq, k] int32).
+      Differentiable in ``dist`` wrt both clouds with the neighbor set
+      treated as locally constant.
     """
     support_p = poison_points(support, support_mask, sign=-1.0)
-    resolved = dispatch.resolve(impl, "knn")
-    with jax.named_scope("ppt.knn"):
-        if resolved == "pallas":
-            from pytorch_points_tpu.kernels import topk_scan
-
-            return topk_scan.knn(query, support_p, k)
-        return _knn_xla(query, support_p, k)
+    return _knn_op(query, support_p, k, impl)
 
 
 def duplicate_shadow_mask(points, valid_mask=None):

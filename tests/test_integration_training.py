@@ -1,6 +1,7 @@
 """Integration: real training loops must learn (SURVEY.md §5 integration
 tier). Tiny sizes — runs on the single-core CPU backend."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,3 +83,22 @@ def test_upsampler_learns_chamfer(rng):
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_ply_dataset_example_smoke(tmp_path, monkeypatch):
+    """The on-disk-data example end-to-end at tiny scale: generate PLYs,
+    bucket, train via Trainer, compute metrics (SURVEY.md §5 integration
+    tier; examples/train_on_ply_dataset.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import train_on_ply_dataset as ex
+
+    root = str(tmp_path / "ply")
+    ex.make_dataset(root, count=20, seed=0)
+    monkeypatch.setattr(
+        sys, "argv", ["x", "--steps", "6", "--data", root, "--batch", "2"]
+    )
+    first, final, cl1, fs = ex.main()
+    assert final < first
+    assert np.isfinite(cl1) and 0.0 <= fs <= 1.0
