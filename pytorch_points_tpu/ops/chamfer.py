@@ -62,20 +62,29 @@ def _nndistance_fwd(p, q, impl):
     return out, (p, q, idx1, idx2)
 
 
+def _row_gather(features, idx):
+    """Row gather routed through the MXU one-hot kernel when it wins
+    (narrow C, many rows — XLA's gather is ~7 ns/row latency-bound)."""
+    from pytorch_points_tpu.ops.sampling import _maybe_pallas_gather
+
+    out = _maybe_pallas_gather(features, idx)
+    if out is not None:
+        return out
+    return jnp.take_along_axis(features, idx[..., None], axis=-2)
+
+
 def _nndistance_bwd(impl, res, g):
     del impl
     from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
 
     p, q, idx1, idx2 = res
     g1, _, g2, _ = g
-    i1 = idx1[..., None]
-    i2 = idx2[..., None]
     # Direction 1: dist1[i] = |p[i] - q[idx1[i]]|^2
-    diff1 = p - jnp.take_along_axis(q, i1, axis=-2)  # [B,N,3]
+    diff1 = p - _row_gather(q, idx1)  # [B,N,3]
     gp = 2.0 * g1[..., None] * diff1
     gq = scatter_add_auto(idx1, -gp, q.shape[1])
     # Direction 2: dist2[j] = |q[j] - p[idx2[j]]|^2
-    diff2 = q - jnp.take_along_axis(p, i2, axis=-2)  # [B,M,3]
+    diff2 = q - _row_gather(p, idx2)  # [B,M,3]
     gq = gq + 2.0 * g2[..., None] * diff2
     gp_scatter = scatter_add_auto(idx2, -2.0 * g2[..., None] * diff2,
                                   p.shape[1])
