@@ -56,7 +56,7 @@ def loss_cd(params, xyz):
 
 def loss_emd(params, xyz):
     m = nnx.merge(graphdef, params)
-    emd, _ = ppt.earth_mover_distance(m(xyz), xyz, eps=0.005, max_iters=30, phases=2)
+    emd, _ = ppt.earth_mover_distance(m(xyz), xyz)
     return jnp.mean(emd)
 
 
@@ -64,7 +64,7 @@ def loss_both(params, xyz):
     m = nnx.merge(graphdef, params)
     pred = m(xyz)
     cd = ppt.chamfer_distance(pred, xyz)
-    emd, _ = ppt.earth_mover_distance(pred, xyz, eps=0.005, max_iters=30, phases=2)
+    emd, _ = ppt.earth_mover_distance(pred, xyz)
     return cd + 0.1 * jnp.mean(emd)
 
 
@@ -78,7 +78,7 @@ pred = jnp.asarray(rng.uniform(-1, 1, (16, 2048, 3)), jnp.float32)
 
 
 def emd_alone(p, q):
-    d, a = ppt.earth_mover_distance(p, q, eps=0.005, max_iters=30, phases=2)
+    d, a = ppt.earth_mover_distance(p, q)
     return jnp.mean(d)
 
 
