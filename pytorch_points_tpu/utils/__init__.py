@@ -8,6 +8,8 @@ from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
     check_values,
     clamp_gradients,
     linear_loss_weight,
+    step_lr_schedule,
+    warmup_cosine_lr_schedule,
     load_network,
     save_network,
     weights_init,

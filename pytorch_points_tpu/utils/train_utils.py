@@ -124,6 +124,38 @@ def linear_loss_weight(start_weight: float, end_weight: float, start_step: int,
     return schedule
 
 
+def step_lr_schedule(base_lr: float, decay_steps: int, gamma: float = 0.5,
+                     min_lr: float = 0.0):
+    """StepLR-style learning-rate schedule (reference pytorch_utils lr
+    schedules): lr = max(base_lr * gamma^(step // decay_steps), min_lr).
+
+    Pass directly as the learning_rate of any optax optimizer:
+    ``optax.adam(step_lr_schedule(1e-3, 1000))``.
+    """
+
+    def schedule(step):
+        return jnp.maximum(
+            base_lr * gamma ** (step // decay_steps), min_lr
+        )
+
+    return schedule
+
+
+def warmup_cosine_lr_schedule(base_lr: float, total_steps: int,
+                              warmup_steps: int = 0, min_lr: float = 0.0):
+    """Linear warmup then cosine decay to min_lr over total_steps."""
+
+    def schedule(step):
+        warm = jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        t = jnp.clip(
+            (step - warmup_steps) / max(total_steps - warmup_steps, 1), 0, 1
+        )
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, base_lr * warm, cos)
+
+    return schedule
+
+
 def weights_init(params, method: str = "xavier_uniform", seed: int = 0):
     """Re-initialize every >=2-D kernel leaf of an nnx state / params pytree
     (reference ``weights_init``; biases and norm scales are left alone).

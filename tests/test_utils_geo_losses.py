@@ -497,3 +497,34 @@ def test_chamfer_loss_threshold(rng):
         np.where(d1 < thr, d1, 0.0).mean() + np.where(d2 < thr, d2, 0.0).mean()
     )
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_lr_schedules():
+    """StepLR + warmup-cosine schedules (reference pytorch_utils P7)."""
+    from pytorch_points_tpu.utils import (
+        step_lr_schedule,
+        warmup_cosine_lr_schedule,
+    )
+
+    s = step_lr_schedule(1e-2, decay_steps=10, gamma=0.1, min_lr=1e-5)
+    np.testing.assert_allclose(float(s(0)), 1e-2)
+    np.testing.assert_allclose(float(s(9)), 1e-2)
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 1e-5, rtol=1e-6)  # floor
+
+    w = warmup_cosine_lr_schedule(1e-2, total_steps=100, warmup_steps=10)
+    assert float(w(0)) == 0.0
+    np.testing.assert_allclose(float(w(5)), 5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(w(10)), 1e-2, rtol=1e-6)
+    np.testing.assert_allclose(float(w(100)), 0.0, atol=1e-9)
+    assert float(w(40)) > float(w(80))
+
+    # drives an optax optimizer directly
+    import optax
+
+    tx = optax.adam(s)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    upd, _ = tx.update(g, state, params)
+    assert np.all(np.isfinite(np.asarray(upd["w"])))
