@@ -85,34 +85,42 @@ def sort_by_morton(x):
 # ---------------------------------------------------------------------------
 
 
-def _band_kernel(pt_ref, qs_ref, out_ref, accd, *, tb):
-    w = pl.program_id(2)
-    nw = pl.num_programs(2)
-
-    @pl.when(w == 0)
-    def _():
-        accd[:] = jnp.full_like(accd, jnp.inf)
-
-    q = qs_ref[0]  # [tB, 8]
+def _band_kernel(pt_ref, qm_ref, qc_ref, qp_ref, out_ref, *, tb):
+    # One grid step per p-tile; the three q-window tiles arrive as three
+    # block views of the same array (separate in_specs) so the kernel has
+    # no w grid dimension — the old (b, ni, 3) grid was step-overhead
+    # bound (~1 us/step).
     p = pt_ref[0]  # [8, tB]
-    d = jnp.zeros((tb, tb), jnp.float32)
-    for c in range(3):
-        diff = q[:, c : c + 1] - p[c : c + 1, :]
-        d = d + diff * diff
-    accd[:] = jnp.minimum(accd[:], jnp.min(d, axis=0, keepdims=True))
-
-    @pl.when(w == nw - 1)
-    def _():
-        out_ref[0] = accd[:]
+    psq = jnp.sum(p[:3, :] * p[:3, :], axis=0, keepdims=True)  # [1, tB]
+    acc = jnp.full((1, tb), jnp.inf, jnp.float32)
+    for qref in (qm_ref, qc_ref, qp_ref):
+        q = qref[0]  # [tB, 8]
+        # Matmul-form distances: the O(tb^2) cross term rides the MXU,
+        # leaving ~3 VPU plane ops per tile (diff^2 form cost ~10).  These
+        # are upper BOUNDS — validity is restored by band_min's slack.
+        qsq = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)  # [tB, 1]
+        qp = jax.lax.dot_general(
+            q[:, :3], p[:3, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = (qsq + psq) - (qp + qp)
+        acc = jnp.minimum(acc, jnp.min(d, axis=0, keepdims=True))
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
-def band_min(ps, qs, tb: int = 512):
+def band_min(ps, qs, tb: int = 512, pad=1e-6):
     """Per-point min d^2 over a ~3*tb rank window of the (sorted) other cloud.
 
     Both inputs must already be padded to a multiple of tb.  The window for
     p-tile i is q-tiles clamp(i*ratio + {-1, 0, +1}); clamping duplicates
     edge visits, which the running min absorbs.
+
+    ``pad``: absolute validity slack added to the returned bounds — must
+    cover the matmul-form cancellation error, which scales with the REAL
+    points' squared coordinate magnitudes (callers pass
+    ~32*2^-23*max(|p|^2+|q|^2)).  Bounds for the poison padding rows may
+    be invalid; their outputs are sliced off by every caller.
     """
     b, n, _ = ps.shape
     m = qs.shape[1]
@@ -121,30 +129,39 @@ def band_min(ps, qs, tb: int = 512):
     pt = jnp.transpose(jnp.pad(ps, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
     qsp = jnp.pad(qs, ((0, 0), (0, 0), (0, 5)))
 
-    def q_index(bi, i, w):
-        center = i * njq // ni
-        return (bi, jnp.clip(center + w - 1, 0, njq - 1), 0)
+    def q_index(w):
+        def f(bi, i):
+            center = i * njq // ni
+            return (bi, jnp.clip(center + w - 1, 0, njq - 1), 0)
+
+        return f
 
     out = pl.pallas_call(
         functools.partial(_band_kernel, tb=tb),
-        grid=(b, ni, 3),
+        grid=(b, ni),
         in_specs=[
-            pl.BlockSpec((1, 8, tb), lambda bi, i, w: (bi, 0, i),
+            pl.BlockSpec((1, 8, tb), lambda bi, i: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 8), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 8), q_index(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 8), q_index(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 8), q_index(2), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tb), lambda bi, i, w: (bi, 0, i),
+        out_specs=pl.BlockSpec((1, 1, tb), lambda bi, i: (bi, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, tb), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=3 * 10 * b * n * tb,
-            bytes_accessed=4 * b * (8 * n + 8 * m + n),
+            bytes_accessed=4 * b * (8 * n + 3 * 8 * m + n),
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(pt, qsp)
-    return out[:, 0, :]
+    )(pt, qsp, qsp, qsp)
+    # Validity slack: the matmul-form distance can undershoot the exact
+    # diff^2 value through cancellation bounded by the coordinate
+    # magnitudes (covered by ``pad``); a looser bound only admits extra
+    # candidate tiles — results stay exact.
+    ub = out[:, 0, :]
+    return jnp.maximum(ub, 0.0) * (1.0 + 1e-5) + pad
 
 
 # ---------------------------------------------------------------------------
@@ -312,8 +329,12 @@ def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 256,
     pp = _pad_points_poison(ps, n_pad)
     qp = _pad_points_poison_neg(qs, m_pad)
 
-    d_ub1 = band_min(pp, qp, tb=tb)  # [B, N'] upper bounds
-    d_ub2 = band_min(qp, pp, tb=tb)  # [B, M']
+    # Cancellation slack for the matmul-form band bounds, from the REAL
+    # clouds' magnitudes (the poison rows' own bounds are sliced off).
+    maxsq = jnp.max(jnp.sum(ps * ps, -1)) + jnp.max(jnp.sum(qs * qs, -1))
+    pad = 32.0 * (2.0 ** -23) * maxsq
+    d_ub1 = band_min(pp, qp, tb=tb, pad=pad)  # [B, N'] upper bounds
+    d_ub2 = band_min(qp, pp, tb=tb, pad=pad)  # [B, M']
 
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)  # [B, nI, nJ]
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)  # swapped roles
