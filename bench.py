@@ -77,6 +77,14 @@ def main():
     f2 = jax.jit(lambda x: fpsk.furthest_point_sample(x, 2048))
     details["config2_fps_B16_16k_to_2048_ms"] = round(measure(f2, x2) * 1e3, 2)
 
+    # --- Config 2b: large-N FPS (round-1 OOM'd / fell back past 16 MB
+    # planes; the chunked kernel streams any N <= ~650k) ----------------
+    x2b = jnp.asarray(rng.uniform(-1, 1, (8, 131072, 3)), jnp.float32)
+    f2b = jax.jit(lambda x: fpsk.furthest_point_sample(x, 2048))
+    details["config2b_fps_B8_131k_to_2048_ms"] = round(
+        measure(f2b, x2b) * 1e3, 2
+    )
+
     # --- Config 3: ball_query + group on FPS centroids ------------------
     def cfg3(x):
         idx = fpsk.furthest_point_sample(x, 2048)
@@ -98,25 +106,30 @@ def main():
 
     # EMD assignment quality vs the Hungarian optimum (scipy oracle) on
     # gaussian-mixture (clustered) AND standard-normal clouds — mean
-    # matched d^2, excess over optimal in percent.
+    # matched d^2, excess over optimal in percent.  Dedicated rng so the
+    # measured clouds are stable across bench-harness edits.
     try:
         from scipy.optimize import linear_sum_assignment
 
+        qrng = np.random.default_rng(7)
+        nb = 4
+
         def gmm(b, npts, k=8, spread=0.15):
-            centers = rng.uniform(-1, 1, (b, k, 3))
-            which = rng.integers(0, k, (b, npts))
+            centers = qrng.uniform(-1, 1, (b, k, 3))
+            which = qrng.integers(0, k, (b, npts))
             return (
                 centers[np.arange(b)[:, None], which]
-                + spread * rng.standard_normal((b, npts, 3))
+                + spread * qrng.standard_normal((b, npts, 3))
             ).astype(np.float32)
 
-        for name, pa, qa in (
-            ("normal", np.asarray(p4[:2]), np.asarray(q4[:2])),
-            ("gmm", gmm(2, 2048), gmm(2, 2048)),
-        ):
+        normal = lambda b, npts: qrng.standard_normal((b, npts, 3)).astype(
+            np.float32
+        )
+        for name, maker in (("normal", normal), ("gmm", gmm)):
+            pa, qa = maker(nb, 2048), maker(nb, 2048)
             got = float(jnp.mean(f4(jnp.asarray(pa), jnp.asarray(qa))))
             opts = []
-            for bi in range(2):
+            for bi in range(nb):
                 d2 = ((pa[bi, :, None, :] - qa[bi, None, :, :]) ** 2).sum(
                     -1
                 ).astype(np.float64)

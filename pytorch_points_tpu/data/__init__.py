@@ -8,11 +8,14 @@ buckets (SURVEY.md §8.4 hard-part 3).  This package provides exactly that:
   * :class:`PlyFolderDataset` — a folder of .ply files (C++ fast parsing
     when built) with optional preprocessing,
   * :class:`BucketedBatcher` — groups clouds by bucketed size into padded
-    (points, mask) batches, one static shape per bucket.
+    (points, mask) batches, one static shape per bucket,
+  * :class:`Prefetcher` — background-thread batch prefetch (host I/O +
+    padding overlapped with device compute).
 """
 
 from pytorch_points_tpu.data.loader import (  # noqa: F401
     BucketedBatcher,
+    Prefetcher,
     PlyFolderDataset,
     random_clouds,
 )

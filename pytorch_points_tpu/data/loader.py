@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from collections.abc import Callable, Iterator, Sequence
 
 import numpy as np
@@ -119,3 +121,47 @@ class BucketedBatcher:
             pts[row, :n] = xyz
             mask[row, :n] = True
         return {"points": pts, "mask": mask}
+
+
+class Prefetcher:
+    """Background-thread batch prefetch: host file I/O + padding overlap
+    with device compute (the runtime role the reference delegated to
+    torch DataLoader workers).
+
+    Wraps any batch iterable (e.g. :class:`BucketedBatcher`).  A daemon
+    thread keeps up to ``depth`` ready batches in a queue; iterating
+    yields them in order.  Exceptions in the producer re-raise at the
+    consumer.  Re-iterable: each ``iter()`` starts a fresh pass.
+
+        for batch in Prefetcher(batcher, depth=2):
+            state, loss = step(state, batch)
+    """
+
+    _DONE = object()
+
+    def __init__(self, batches, depth: int = 2):
+        self.batches = batches
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+
+        def producer():
+            try:
+                for b in self.batches:
+                    q.put(b)
+            except BaseException as e:  # re-raised at the consumer
+                q.put(e)
+                return
+            q.put(self._DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

@@ -45,3 +45,32 @@ def test_ply_folder_dataset(tmp_path, rng):
     assert x.shape[1] == 3
     # normalized to unit sphere
     assert np.linalg.norm(x, axis=-1).max() <= 1 + 1e-5
+
+
+def test_prefetcher_overlaps_and_matches(rng):
+    """Prefetcher yields the same batches as direct iteration, re-raises
+    producer exceptions, and is re-iterable."""
+    from pytorch_points_tpu.data import BucketedBatcher, Prefetcher, random_clouds
+
+    ds = random_clouds(10, lo=100, hi=300, seed=1)
+    batcher = BucketedBatcher(ds, batch_size=3, multiple=64, shuffle=False)
+    direct = list(batcher)
+    pre = list(Prefetcher(batcher, depth=2))
+    assert len(direct) == len(pre)
+    for a, b in zip(direct, pre):
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+    # re-iterable
+    again = list(Prefetcher(batcher, depth=1))
+    assert len(again) == len(direct)
+
+    # producer exceptions surface at the consumer
+    def bad():
+        yield {"x": 1}
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        list(Prefetcher(bad(), depth=1))
