@@ -91,36 +91,34 @@ def _band_kernel(pt_ref, qm_ref, qc_ref, qp_ref, out_ref, *, tb):
     # no w grid dimension — the old (b, ni, 3) grid was step-overhead
     # bound (~1 us/step).
     p = pt_ref[0]  # [8, tB]
-    psq = jnp.sum(p[:3, :] * p[:3, :], axis=0, keepdims=True)  # [1, tB]
     acc = jnp.full((1, tb), jnp.inf, jnp.float32)
     for qref in (qm_ref, qc_ref, qp_ref):
         q = qref[0]  # [tB, 8]
-        # Matmul-form distances: the O(tb^2) cross term rides the MXU,
-        # leaving ~3 VPU plane ops per tile (diff^2 form cost ~10).  These
-        # are upper BOUNDS — validity is restored by band_min's slack.
-        qsq = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)  # [tB, 1]
-        qp = jax.lax.dot_general(
-            q[:, :3], p[:3, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        d = (qsq + psq) - (qp + qp)
+        # diff^2 form, NOT matmul form: the resident kernel computes the
+        # same diff^2 arithmetic, so these bounds are consistent with the
+        # values it compares against BY CONSTRUCTION (no cancellation
+        # slack needed).  Matmul-form variants were tried: Mosaic's
+        # default f32 dot (bf16x3) has ~2^-16*|q||p| error — enough to
+        # make bounds undershoot and silently miss candidates at bench
+        # scale — and Precision.HIGHEST on a K=3 matmul lowers so badly
+        # it cost 12 ms.  The win here is the 3-window fold, not the MXU.
+        d = jnp.zeros((tb, tb), jnp.float32)
+        for c in range(3):
+            diff = q[:, c : c + 1] - p[c : c + 1, :]
+            d = d + diff * diff
         acc = jnp.minimum(acc, jnp.min(d, axis=0, keepdims=True))
     out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
-def band_min(ps, qs, tb: int = 512, pad=1e-6):
+def band_min(ps, qs, tb: int = 512):
     """Per-point min d^2 over a ~3*tb rank window of the (sorted) other cloud.
 
     Both inputs must already be padded to a multiple of tb.  The window for
     p-tile i is q-tiles clamp(i*ratio + {-1, 0, +1}); clamping duplicates
-    edge visits, which the running min absorbs.
-
-    ``pad``: absolute validity slack added to the returned bounds — must
-    cover the matmul-form cancellation error, which scales with the REAL
-    points' squared coordinate magnitudes (callers pass
-    ~32*2^-23*max(|p|^2+|q|^2)).  Bounds for the poison padding rows may
-    be invalid; their outputs are sliced off by every caller.
+    edge visits, which the running min absorbs.  Computed with the same
+    diff^2 arithmetic as the resident kernel, so the bounds are valid
+    against its values by construction.
     """
     b, n, _ = ps.shape
     m = qs.shape[1]
@@ -156,12 +154,7 @@ def band_min(ps, qs, tb: int = 512, pad=1e-6):
         ),
         interpret=interpret_mode(),
     )(pt, qsp, qsp, qsp)
-    # Validity slack: the matmul-form distance can undershoot the exact
-    # diff^2 value through cancellation bounded by the coordinate
-    # magnitudes (covered by ``pad``); a looser bound only admits extra
-    # candidate tiles — results stay exact.
-    ub = out[:, 0, :]
-    return jnp.maximum(ub, 0.0) * (1.0 + 1e-5) + pad
+    return out[:, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -329,12 +322,8 @@ def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 256,
     pp = _pad_points_poison(ps, n_pad)
     qp = _pad_points_poison_neg(qs, m_pad)
 
-    # Cancellation slack for the matmul-form band bounds, from the REAL
-    # clouds' magnitudes (the poison rows' own bounds are sliced off).
-    maxsq = jnp.max(jnp.sum(ps * ps, -1)) + jnp.max(jnp.sum(qs * qs, -1))
-    pad = 32.0 * (2.0 ** -23) * maxsq
-    d_ub1 = band_min(pp, qp, tb=tb, pad=pad)  # [B, N'] upper bounds
-    d_ub2 = band_min(qp, pp, tb=tb, pad=pad)  # [B, M']
+    d_ub1 = band_min(pp, qp, tb=tb)  # [B, N'] upper bounds
+    d_ub2 = band_min(qp, pp, tb=tb)  # [B, M']
 
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)  # [B, nI, nJ]
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)  # swapped roles

@@ -4,6 +4,7 @@ The load-bearing invariant: the pruned worklist pass is BITWISE identical
 to the dense fused kernel run on the sorted clouds — bounds may only skip
 pairs that provably contain no nearest neighbor (ties included).
 """
+import os
 
 import jax
 import jax.numpy as jnp
@@ -121,3 +122,24 @@ def test_sort_by_morton_is_permutation(rng):
         np.sort(np.asarray(perm), axis=1),
         np.broadcast_to(np.arange(257), (3, 257)),
     )
+
+
+@pytest.mark.skipif(
+    os.environ.get("PPT_TEST_TPU") != "1",
+    reason="hardware-scale exactness check (dense kernel at N=16k is too "
+    "slow in interpret mode); runs in the PPT_TEST_TPU=1 suite",
+)
+def test_sorted_bitwise_vs_dense_at_bench_scale(rng):
+    """Regression guard for the band-bound precision bug: Mosaic's default
+    f32 dot (bf16x3) made bounds undershoot by ~2^-16*|q||p|, which only
+    manifests at bench scale (1-3 missed candidates per 131k points)."""
+    from pytorch_points_tpu.kernels.distance_tiles import nn_both_directions
+
+    p = jnp.asarray(rng.uniform(-1, 1, (4, 16384, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (4, 16384, 3)), jnp.float32)
+    ps, _ = nn_sorted.sort_by_morton(p)
+    qs, _ = nn_sorted.sort_by_morton(q)
+    dense = jax.jit(nn_both_directions)(ps, qs)
+    pruned = jax.jit(nn_sorted.nndistance_presorted)(ps, qs)
+    for a, b in zip(pruned, dense):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
