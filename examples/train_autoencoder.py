@@ -37,10 +37,7 @@ def main():
     model = PointCloudAutoencoder(
         npoint1=args.n // 4, npoint2=args.n // 16, rngs=nnx.Rngs(0)
     )
-    loss_fn = parallel.reconstruction_loss(
-        emd_weight=args.emd_weight,
-        emd_kwargs={"eps": 0.01, "max_iters": 30, "phases": 2},
-    )
+    loss_fn = parallel.reconstruction_loss(emd_weight=args.emd_weight)
     step, state = parallel.make_train_step(
         model, optax.adam(args.lr), mesh, loss_fn
     )
