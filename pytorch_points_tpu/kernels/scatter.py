@@ -124,3 +124,88 @@ def scatter_add_csum(idx, updates, n: int, tk: int = 2048):
     # [B, C, H, L] -> [B, n, C]
     out = jnp.transpose(out.reshape(b, c_dim, n_pad), (0, 2, 1))
     return out[:, :n, :]
+
+
+def _scatter_kernel_t(idx_ref, g_ref, out_ref, acc, *, h, c_dim, tk):
+    """Lane-major twin of _scatter_kernel: one-hot factors carry the
+    update axis on LANES, so the MXU contracts lane-against-lane ("NT"
+    form) instead of transposing [tK, .] sublane-major operands.
+
+    Exactness trick: updates split g = g_hi + g_lo in bf16 ONCE; the
+    one-hot times a bf16 part is exact in bf16 (product is 0 or the part
+    itself), so each pass is a pure bf16 matmul with f32 accumulation —
+    same ~2^-16 worst-case as the original formulation.
+    """
+    kc = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    idx = idx_ref[0]  # [1, tK] lane-major
+    hi = idx // _L
+    lo = idx - hi * _L
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, tk), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_L, tk), 0)
+    a_t = (hi == iota_h).astype(jnp.bfloat16)  # [H, tK] exact
+    bl_t = (lo == iota_l).astype(jnp.bfloat16)  # [L, tK] exact
+
+    for c in range(c_dim):
+        gc = g_ref[0, c : c + 1, :]  # [1, tK] f32 lane-major
+        gc_hi = gc.astype(jnp.bfloat16)
+        gc_lo = (gc - gc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            a_t, bl_t * gc_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            a_t, bl_t * gc_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, L] f32
+        acc[c] = acc[c] + part
+
+    @pl.when(kc == nk - 1)
+    def _():
+        out_ref[0] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tk"))
+def scatter_add_csum_t(idx, updates, n: int, tk: int = 2048):
+    """Lane-major twin of :func:`scatter_add_csum` (same semantics)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    updates = jnp.asarray(updates, jnp.float32)
+    b, k = idx.shape
+    c_dim = updates.shape[-1]
+    n_pad = _round_up(n, _L)
+    h = n_pad // _L
+    k_pad = _round_up(k, tk)
+    if k_pad != k:
+        idx = jnp.pad(idx, ((0, 0), (0, k_pad - k)))
+        updates = jnp.pad(updates, ((0, 0), (0, k_pad - k), (0, 0)))
+    upd_t = jnp.transpose(updates, (0, 2, 1))  # [B, C, K]
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel_t, h=h, c_dim=c_dim, tk=tk),
+        grid=(b, k_pad // tk),
+        in_specs=[
+            pl.BlockSpec((1, 1, tk), lambda bi, kc: (bi, 0, kc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_dim, tk), lambda bi, kc: (bi, 0, kc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_dim, h, _L), lambda bi, kc: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_dim, h, _L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_dim, h, _L), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * k_pad * (h + 1) * _L * c_dim,
+            bytes_accessed=4 * b * (k_pad * (1 + c_dim) + n_pad * c_dim),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(idx[:, None, :], upd_t)
+    out = jnp.transpose(out.reshape(b, c_dim, n_pad), (0, 2, 1))
+    return out[:, :n, :]
