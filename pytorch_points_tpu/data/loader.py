@@ -145,23 +145,46 @@ class Prefetcher:
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded put that aborts when the consumer abandons the
+            # iteration (break/exception/GC-close) — otherwise the
+            # producer would block forever on a full queue and leak one
+            # pinned thread (plus its in-flight batches) per partial pass.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self.batches:
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as e:  # re-raised at the consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(self._DONE)
+            put(self._DONE)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

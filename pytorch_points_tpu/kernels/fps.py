@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pytorch_points_tpu.core.masking import BIG_COORD
 from pytorch_points_tpu.kernels.dispatch import interpret_mode
 
 _IDX_BIG = 2**30
@@ -48,9 +47,10 @@ def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
 
     def body(j, carry):
         # carry: coords of the previously selected point per batch row.
-        # At j=0 it is a far-away poison point: the min() update leaves
-        # the (uniform) init values intact, so the argmax still selects
-        # the first valid index — the reference seeding.
+        # At j=0 there is no previous point: the min-fold is skipped
+        # (j > 0 select below) so the argmax runs on the raw init values
+        # and selects the first valid index — the reference seeding —
+        # with no dependence on the clouds' coordinate magnitude.
         sx, sy, sz = carry
 
         # pass 1: fold the distance to the previous point into the
@@ -61,7 +61,8 @@ def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
             dy = xyz_ref[1, :, sl] - sy
             dz = xyz_ref[2, :, sl] - sz
             d = dx * dx + dy * dy + dz * dz
-            mc = jnp.minimum(mind_ref[:, sl], d)
+            prev = mind_ref[:, sl]
+            mc = jnp.where(j > 0, jnp.minimum(prev, d), prev)
             mind_ref[:, sl] = mc
             return jnp.maximum(m_run, jnp.max(mc, axis=1, keepdims=True))
 
@@ -104,8 +105,8 @@ def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
         out_ref[:] = jnp.where(iota_k == j, sel, out_ref[:])
         return nx, ny, nz
 
-    poison = jnp.full((b, 1), BIG_COORD * 4.0, jnp.float32)
-    jax.lax.fori_loop(0, k, body, (poison, poison, poison))
+    zero = jnp.zeros((b, 1), jnp.float32)  # unused at j=0 (min-fold skipped)
+    jax.lax.fori_loop(0, k, body, (zero, zero, zero))
 
 
 def _round_up(v, m):

@@ -272,17 +272,25 @@ class UniformLoss:
         centers = gather_points(xyz, fidx)
         # Uncapped in-ball counts (ball_query clips counts at nsample,
         # which would silently under-penalize dense regions once a ball
-        # saturates — the chi^2 needs the true density).
-        d2 = pairwise_sqdist(centers, xyz)  # [B, npoint, N]
-        if mask is not None:
-            d2 = jnp.where(mask[:, None, :], d2, jnp.inf)
-        total = 0.0
+        # saturates — the chi^2 needs the true density; divergence from
+        # the reference's capped counts is recorded in PARITY.md).  The
+        # [B, npoint, N] pairwise plane is chunked along N so the
+        # transient stays bounded (~32 MB) at large N.
         import math
 
-        for p in self.radii:
-            r = math.sqrt(p)  # p = disk-area fraction
-            cnt = jnp.sum(d2 < r * r, axis=-1)
+        big_n = xyz.shape[1]
+        cs = max(256, min(big_n, (32 << 20) // (4 * xyz.shape[0] * self.npoint)))
+        cnts = [0.0 for _ in self.radii]
+        for s in range(0, big_n, cs):
+            d2 = pairwise_sqdist(centers, xyz[:, s : s + cs])
+            if mask is not None:
+                d2 = jnp.where(mask[:, None, s : s + cs], d2, jnp.inf)
+            for ri, p in enumerate(self.radii):
+                r = math.sqrt(p)  # p = disk-area fraction
+                cnts[ri] = cnts[ri] + jnp.sum(d2 < r * r, axis=-1)
+        total = 0.0
+        for ri, p in enumerate(self.radii):
             expected = n * p
-            chi2 = (cnt.astype(jnp.float32) - expected) ** 2 / expected
+            chi2 = (cnts[ri].astype(jnp.float32) - expected) ** 2 / expected
             total = total + _reduce(chi2, self.reduction)
         return total / len(self.radii)

@@ -74,3 +74,29 @@ def test_prefetcher_overlaps_and_matches(rng):
 
     with _pytest.raises(ValueError, match="boom"):
         list(Prefetcher(bad(), depth=1))
+
+
+def test_prefetcher_abandoned_iteration_releases_producer():
+    """Breaking out of a Prefetcher pass must terminate the producer
+    thread (it previously blocked forever on a full queue)."""
+    import threading
+    import time
+
+    from pytorch_points_tpu.data import Prefetcher
+
+    produced = []
+
+    def many():
+        for i in range(1000):
+            produced.append(i)
+            yield {"i": i}
+
+    before = threading.active_count()
+    for batch in Prefetcher(many(), depth=1):
+        if batch["i"] >= 2:
+            break  # abandon mid-pass with the queue full
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000  # producer stopped early, not drained

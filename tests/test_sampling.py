@@ -72,3 +72,16 @@ def test_fps_and_gather(rng):
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
     want = np.stack([xyz[b][want_idx[b]] for b in range(2)])
     np.testing.assert_allclose(np.asarray(new_xyz), want, rtol=1e-6)
+
+
+def test_fps_first_index_large_coordinates(rng):
+    """Seeding must not depend on coordinate magnitude (ADVICE r2): the
+    first selection is the lowest valid index even when |coords| ~ 1e5."""
+    xyz = (rng.standard_normal((2, 300, 3)) * 1.2e5).astype(np.float32)
+    idx = furthest_point_sample(xyz, 32)
+    want = oracles.furthest_point_sample(xyz, 32)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    mask = np.ones((2, 300), bool)
+    mask[:, :7] = False  # lowest valid index is 7
+    idx_m = np.asarray(furthest_point_sample(xyz, 32, mask=mask))
+    assert np.all(idx_m[:, 0] == 7)
