@@ -61,9 +61,20 @@ def main():
 
     t = measure(jax.jit(headline), pred, gt, iters=5)
     clouds_per_sec = B / t
+    # Telemetry (round-2 verdict item 5): which kernel served the call and
+    # how full the pruned kernel's static worklist budget ran — a silent
+    # dense fallback or a near-overflow distribution shows up here, not as
+    # an unexplained halved headline.
+    from pytorch_points_tpu.kernels import nn_sorted
+    from pytorch_points_tpu.ops.chamfer import chamfer_path
+
+    stats = nn_sorted.worklist_stats(pred, gt)
     details["headline_fps_group_chamfer_B32_N16k"] = {
         "ms": round(t * 1e3, 2),
         "clouds_per_sec": round(clouds_per_sec, 1),
+        "chamfer_path": chamfer_path(pred, gt),
+        "worklist_occupancy": round(float(stats["occupancy"]), 3),
+        "worklist_overflow": bool(stats["overflow"]),
     }
 
     # --- Config 1: chamfer fwd+bwd B=8 N=1024 (CPU-runnable) ------------
@@ -71,6 +82,7 @@ def main():
     q1 = jnp.asarray(rng.standard_normal((8, 1024, 3)), jnp.float32)
     f1 = jax.jit(jax.value_and_grad(lambda p: ppt.chamfer_distance(p, q1)))
     details["config1_chamfer_B8_N1024_ms"] = round(measure(f1, p1) * 1e3, 3)
+    details["config1_path"] = chamfer_path(p1, q1)
 
     # --- Config 2: FPS 16384->2048, B=16 --------------------------------
     x2 = gt[:16]
@@ -171,6 +183,37 @@ def main():
 
     t5 = measure(train_step, params, opt_state, x5, iters=3)
     details["config5_sa_fp_train_step_B16_N2048_ms"] = round(t5 * 1e3, 1)
+    details["config5_chamfer_path"] = chamfer_path(x5, x5)
+
+    # --- Config 4c: EMD on CORRELATED clouds (untrained-model output vs
+    # its input — the distribution a real train step feeds the loss, ~2-3x
+    # costlier than random clouds and previously untracked for QUALITY).
+    # >= 8-element Hungarian oracle with spread (round-2 verdict item 3).
+    pred5 = nnx.merge(graphdef, params)(x5)
+    details["config4c_emd_correlated_B16_ms"] = round(
+        measure(f4, pred5, x5) * 1e3, 1
+    )
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        nb_c = 8
+        pa = np.asarray(pred5[:nb_c], np.float64)
+        qa = np.asarray(x5[:nb_c], np.float64)
+        got_pp = np.asarray(f4(pred5[:nb_c], x5[:nb_c]), np.float64)  # [b, N]
+        exc = []
+        for bi in range(nb_c):
+            d2 = ((pa[bi, :, None, :] - qa[bi, None, :, :]) ** 2).sum(-1)
+            r, c = linear_sum_assignment(d2)
+            opt_b = d2[r, c].mean()
+            exc.append(100.0 * (got_pp[bi].mean() - opt_b) / opt_b)
+        details["config4c_emd_correlated_quality"] = {
+            "excess_pct_mean": round(float(np.mean(exc)), 2),
+            "excess_pct_min": round(float(np.min(exc)), 2),
+            "excess_pct_max": round(float(np.max(exc)), 2),
+            "oracle_elems": nb_c,
+        }
+    except ImportError:
+        pass
 
     print(
         json.dumps(

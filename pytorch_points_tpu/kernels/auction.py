@@ -140,7 +140,7 @@ def _round_up(v, m):
 
 
 def _augment_kernel(ids_ref, px_ref, qx_ref, owner_in, price_in,
-                    owner_out, price_out, dist_s, pred_s, scan_s,
+                    owner_out, price_out, dist_s, pred_s, scan_s, qn_s,
                     *, eps, n, s_max, b, pop_cap):
     """JV shortest-augmenting-path endgame for the auction's stragglers.
 
@@ -165,32 +165,47 @@ def _augment_kernel(ids_ref, px_ref, qx_ref, owner_in, price_in,
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
     INF = jnp.float32(1e30)
 
+    def at_lanes_eq(eq, plane):
+        """one-hot [B,N] x plane [B,N] -> selected scalar column [B,1]."""
+        return jnp.sum(jnp.where(eq, plane, 0), axis=1, keepdims=True)
+
     def at_lanes(plane, jcol):
         """plane [B,N], jcol [B,1] -> plane[batch, jcol[batch]] as [B,1]."""
-        return jnp.sum(jnp.where(lane == jcol, plane, 0), axis=1,
-                       keepdims=True)
+        return at_lanes_eq(lane == jcol, plane)
 
-    def crow_of(icol):
-        """Squared-distance row of person icol [B,1] vs all objects [B,N]."""
-        d2 = jnp.zeros((b, n), jnp.float32)
+    # qsq + price is constant through one slot's Dijkstra (the dual bump
+    # happens after the pop loop), so the net cost row of person i is
+    # ci_net[j] = psq_i + qn[j] - 2 p_i.q_j with qn refreshed per slot —
+    # the dot form drops the per-pop row rebuild from 17 to ~14 plane ops
+    # (the VPU mul/adds here are plain f32, not the unsound bf16x3 MXU
+    # path the chamfer bounds had to avoid).
+    qsq = (
+        qx_ref[0] * qx_ref[0]
+        + qx_ref[1] * qx_ref[1]
+        + qx_ref[2] * qx_ref[2]
+    )
+
+    def crow_net_of(icol):
+        """Net cost row of person icol: c[i,:] + price, as [B,N]."""
         onehot = lane == icol
-        for c in range(3):
-            pc = jnp.sum(jnp.where(onehot, px_ref[c], 0.0), axis=1,
-                         keepdims=True)  # [B,1]
-            diff = pc - qx_ref[c]
-            d2 = d2 + diff * diff
-        return d2
+        pix = at_lanes_eq(onehot, px_ref[0])
+        piy = at_lanes_eq(onehot, px_ref[1])
+        piz = at_lanes_eq(onehot, px_ref[2])
+        psq = pix * pix + piy * piy + piz * piz  # [B,1] column ops
+        dot = pix * qx_ref[0] + piy * qx_ref[1] + piz * qx_ref[2]
+        return (qn_s[:] - 2.0 * dot) + psq
 
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (b, ids_ref.shape[1]), 1)
 
     def slot_body(s, _):
+        qn_s[:] = qsq + price_out[:]
         # one-hot lane select (dynamic lane slicing is not Mosaic-legal)
         i0 = jnp.sum(jnp.where(iota_s == s, ids_ref[:], 0), axis=1,
                      keepdims=True)  # [B,1]
         valid = i0 < _IDX_BIG
         i0c = jnp.minimum(i0, n - 1)
         # dist[j] = c[i0,j] - v[j] = c + price
-        dist_s[:] = jnp.where(valid, crow_of(i0c) + price_out[:], INF)
+        dist_s[:] = jnp.where(valid, crow_net_of(i0c), INF)
         pred_s[:] = jnp.full((b, n), -1, jnp.int32)
         scan_s[:] = jnp.zeros((b, n), jnp.int32)
 
@@ -210,18 +225,18 @@ def _augment_kernel(ids_ref, px_ref, qx_ref, owner_in, price_in,
             # frozen batches keep their recorded (jstar, dstar)
             jstar = jnp.where(active_b, j, jstar)
             dstar = jnp.where(active_b, d, dstar)
-            own_at = at_lanes(owner_out[:], jstar)  # [B,1]
+            eqj = lane == jstar  # shared by the three jstar-column reads
+            own_at = at_lanes_eq(eqj, owner_out[:])  # [B,1]
             found = own_at < 0
             still = jnp.logical_and(active_b, jnp.logical_not(found))
             # scan jstar for still-active batches
             scan_s[:] = jnp.where(
-                jnp.logical_and(lane == jstar, still), 1, scan_s[:]
+                jnp.logical_and(eqj, still), 1, scan_s[:]
             )
             # relax through the owner's row
             i = jnp.maximum(own_at, 0)
-            ci = crow_of(i)  # [B,N]
-            ci_net = ci + price_out[:]
-            base = dstar - at_lanes(ci_net, jstar) + eps  # [B,1]
+            ci_net = crow_net_of(i)  # [B,N]
+            base = dstar - at_lanes_eq(eqj, ci_net) + eps  # [B,1]
             cand = base + ci_net
             improve = jnp.logical_and(
                 jnp.logical_and(still, scan_s[:] == 0), cand < dist_s[:]
@@ -346,6 +361,7 @@ def _residual_rounds(owner, price, p, q, eps, n, s_max=256, max_rounds=16,
                 pltpu.VMEM((b, n_pad), jnp.float32),  # dist
                 pltpu.VMEM((b, n_pad), jnp.int32),  # pred
                 pltpu.VMEM((b, n_pad), jnp.int32),  # scanned
+                pltpu.VMEM((b, n_pad), jnp.float32),  # qsq + price per slot
             ],
             cost_estimate=pl.CostEstimate(
                 flops=20 * b * s_max * n_pad * 64,

@@ -126,15 +126,18 @@ def scatter_add_csum(idx, updates, n: int, tk: int = 2048):
     return out[:, :n, :]
 
 
-def _scatter_kernel_t(idx_ref, g_ref, out_ref, acc, *, h, c_dim, tk):
+def _scatter_kernel_t(idx_ref, g_ref, out_ref, acc, *, h, c_dim, tk, parts):
     """Lane-major twin of _scatter_kernel: one-hot factors carry the
     update axis on LANES, so the MXU contracts lane-against-lane ("NT"
     form) instead of transposing [tK, .] sublane-major operands.
 
-    Exactness trick: updates split g = g_hi + g_lo in bf16 ONCE; the
-    one-hot times a bf16 part is exact in bf16 (product is 0 or the part
-    itself), so each pass is a pure bf16 matmul with f32 accumulation —
-    same ~2^-16 worst-case as the original formulation.
+    Exactness: updates are split into ``parts`` bf16 planes; the one-hot
+    times a bf16 part is exact in bf16 (product is 0 or the part itself),
+    so each pass is a pure bf16 matmul with f32 accumulation.  parts=2
+    gives ~2^-16 relative accuracy (ample for gradients); parts=3 covers
+    all 24 mantissa bits — with a one-write-per-output permutation the
+    result is BITWISE the input value (used by the sorted-chamfer
+    un-permute, where distances must stay exact).
     """
     kc = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -152,26 +155,29 @@ def _scatter_kernel_t(idx_ref, g_ref, out_ref, acc, *, h, c_dim, tk):
     bl_t = (lo == iota_l).astype(jnp.bfloat16)  # [L, tK] exact
 
     for c in range(c_dim):
-        gc = g_ref[0, c : c + 1, :]  # [1, tK] f32 lane-major
-        gc_hi = gc.astype(jnp.bfloat16)
-        gc_lo = (gc - gc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            a_t, bl_t * gc_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            a_t, bl_t * gc_lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, L] f32
-        acc[c] = acc[c] + part
+        rem = g_ref[0, c : c + 1, :]  # [1, tK] f32 lane-major
+        total = None
+        for _ in range(parts):
+            gp = rem.astype(jnp.bfloat16)
+            rem = rem - gp.astype(jnp.float32)  # exact (Dekker split)
+            contrib = jax.lax.dot_general(
+                a_t, bl_t * gp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, L] f32
+            total = contrib if total is None else total + contrib
+        acc[c] = acc[c] + total
 
     @pl.when(kc == nk - 1)
     def _():
         out_ref[0] = acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tk"))
-def scatter_add_csum_t(idx, updates, n: int, tk: int = 2048):
-    """Lane-major twin of :func:`scatter_add_csum` (same semantics)."""
+@functools.partial(jax.jit, static_argnames=("n", "tk", "parts"))
+def scatter_add_csum_t(idx, updates, n: int, tk: int = 2048, parts: int = 2):
+    """Lane-major twin of :func:`scatter_add_csum` (same semantics).
+
+    ``parts=3`` makes each scattered VALUE f32-exact (bitwise for
+    disjoint/permutation writes) at ~1.5x the matmul cost."""
     idx = jnp.asarray(idx, jnp.int32)
     updates = jnp.asarray(updates, jnp.float32)
     b, k = idx.shape
@@ -185,7 +191,8 @@ def scatter_add_csum_t(idx, updates, n: int, tk: int = 2048):
     upd_t = jnp.transpose(updates, (0, 2, 1))  # [B, C, K]
 
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel_t, h=h, c_dim=c_dim, tk=tk),
+        functools.partial(_scatter_kernel_t, h=h, c_dim=c_dim, tk=tk,
+                          parts=parts),
         grid=(b, k_pad // tk),
         in_specs=[
             pl.BlockSpec((1, 1, tk), lambda bi, kc: (bi, 0, kc),

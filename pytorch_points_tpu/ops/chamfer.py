@@ -39,6 +39,20 @@ def _nn_one_direction_xla(p, q):
 
 
 def _nndistance_forward(p, q, impl):
+    if impl == "sorted":
+        # Morton-pruned kernel with original-order rows/indices and
+        # reference tie-breaks (kernels/nn_sorted.py).
+        from pytorch_points_tpu.kernels import nn_sorted
+
+        with jax.named_scope("ppt.nndistance_sorted"):
+            return nn_sorted.nndistance_indexed(p, q)
+    if impl == "sorted_masked":
+        # Same, for poisoned clouds: validity is recovered from the
+        # poison coordinate inside the kernel wrapper.
+        from pytorch_points_tpu.kernels import nn_sorted
+
+        with jax.named_scope("ppt.nndistance_sorted_masked"):
+            return nn_sorted.nndistance_indexed_masked(p, q)
     impl = dispatch.resolve(impl, "chamfer")
     with jax.named_scope("ppt.nndistance"):
         if impl == "pallas":
@@ -113,10 +127,19 @@ def nndistance(p, q, p_mask=None, q_mask=None, impl: str = "auto"):
     if p.ndim != 3 or q.ndim != 3:
         raise ValueError(f"expected [B,N,C] clouds, got {p.shape} and {q.shape}")
     if p_mask is None and q_mask is None:
+        if _use_sorted_path(p, q, None, None, impl):
+            # Index/per-point consumers get the ~2x Morton-pruned kernel
+            # too: original-order outputs, reference tie-breaks.
+            return _nndistance(p, q, "sorted")
         return _nndistance(p, q, impl)
     pp = poison_points(p, p_mask, sign=1.0)
     qp = poison_points(q, q_mask, sign=-1.0)  # opposite side: mutually far
-    dist1, idx1, dist2, idx2 = _nndistance(pp, qp, impl)
+    if _sorted_size_ok(p, q, impl):
+        # Masked clouds get the Morton-pruned kernel too (round-2
+        # verdict item 1): poison-aware sort + dynamic band windows.
+        dist1, idx1, dist2, idx2 = _nndistance(pp, qp, "sorted_masked")
+    else:
+        dist1, idx1, dist2, idx2 = _nndistance(pp, qp, impl)
     if p_mask is not None:
         dist1 = jnp.where(p_mask, dist1, 0.0)
         idx1 = jnp.where(p_mask, idx1, 0)
@@ -195,15 +218,35 @@ def _nndistance_sorted_d_bwd(res, g):
 _nndistance_sorted_d.defvjp(_nndistance_sorted_d_fwd, _nndistance_sorted_d_bwd)
 
 
-def _use_sorted_path(p, q, p_mask, q_mask, impl):
+def _sorted_size_ok(p, q, impl):
     return (
-        p_mask is None
-        and q_mask is None
-        and p.ndim == 3
+        p.ndim == 3
         and p.shape[1] >= _SORTED_MIN_POINTS
         and q.shape[1] >= _SORTED_MIN_POINTS
         and dispatch.resolve(impl, "chamfer") == "pallas"
     )
+
+
+def _use_sorted_path(p, q, p_mask, q_mask, impl):
+    return p_mask is None and q_mask is None and _sorted_size_ok(p, q, impl)
+
+
+def chamfer_path(p, q, p_mask=None, q_mask=None, impl: str = "auto") -> str:
+    """Telemetry: which kernel serves a chamfer/nndistance call with these
+    arguments — "sorted" (Morton-pruned), "sorted_masked", "dense-pallas"
+    or "xla".  Silent perf cliffs (e.g. a shape dropping below the sorted
+    threshold) become visible in bench output via this marker; the
+    runtime budget-overflow fallback inside the sorted kernels logs
+    itself via jax.debug.print (kernels/nn_sorted.py)."""
+    p = jnp.asarray(p)
+    q = jnp.asarray(q)
+    if dispatch.resolve(impl, "chamfer") != "pallas":
+        return "xla"
+    if not _sorted_size_ok(p, q, impl):
+        return "dense-pallas"
+    if p_mask is None and q_mask is None:
+        return "sorted"
+    return "sorted_masked"
 
 
 def chamfer_distance(

@@ -84,6 +84,34 @@ save_network(params, ckdir, step=1)
 restored, _ = load_network(params, ckdir, step=1)
 print("checkpoint roundtrip ok")
 
+# 4b. round-3 surface: large-N nndistance rides the Morton-pruned indexed
+# kernel (unmasked AND masked) — verify against the dense/XLA contract.
+if _big:
+    from pytorch_points_tpu.core.masking import poison_points
+    from pytorch_points_tpu.kernels.distance_tiles import nn_both_directions
+    from pytorch_points_tpu.ops import nndistance
+    from pytorch_points_tpu.ops.chamfer import chamfer_path
+
+    # The exactness contract is bitwise vs the dense diff^2 kernel (the
+    # XLA matmul-form path picks different winners on f32-level near-ties
+    # at this scale, so indices are only comparable within one arithmetic).
+    pL = jnp.asarray(rng.uniform(-1, 1, (2, 8192, 3)), jnp.float32)
+    qL = jnp.asarray(rng.uniform(-1, 1, (2, 8192, 3)), jnp.float32)
+    assert chamfer_path(pL, qL) == "sorted", chamfer_path(pL, qL)
+    d1, i1, d2, i2 = nndistance(pL, qL)
+    rd1, ri1, rd2, ri2 = nn_both_directions(pL, qL)
+    assert np.array_equal(np.asarray(i1), np.asarray(ri1))
+    assert np.array_equal(np.asarray(d1), np.asarray(rd1))
+    mL = jnp.asarray(np.arange(8192)[None, :] < 6000).repeat(2, 0)
+    assert chamfer_path(pL, qL, mL) == "sorted_masked"
+    md1, mi1, _, _ = nndistance(pL, qL, mL, mL)
+    dd = nn_both_directions(poison_points(pL, mL, 1.0),
+                            poison_points(qL, mL, -1.0))
+    mnp = np.asarray(mL)
+    assert np.array_equal(np.asarray(mi1)[mnp], np.asarray(dd[1])[mnp])
+    assert np.array_equal(np.asarray(md1)[mnp], np.asarray(dd[0])[mnp])
+    print("sorted nndistance (unmasked+masked) bitwise vs dense at N=8192 ok")
+
 # 5. group_knn unique semantics + binary mesh I/O (round-2 surface)
 import os
 

@@ -99,7 +99,8 @@ def test_chamfer_small_or_masked_keeps_dense_path(rng):
     assert not chamfer_mod._use_sorted_path(
         jnp.asarray(p), jnp.asarray(q), None, None, "auto"
     )
-    # masked clouds never take the sorted path
+    # masked clouds skip the loss-only sorted path (_nndistance_sorted_d);
+    # they ride the sorted_masked indexed path via nndistance instead
     mask = np.ones((2, 600), bool)
     chamfer_mod_min = chamfer_mod._SORTED_MIN_POINTS
     try:
@@ -143,3 +144,152 @@ def test_sorted_bitwise_vs_dense_at_bench_scale(rng):
     pruned = jax.jit(nn_sorted.nndistance_presorted)(ps, qs)
     for a, b in zip(pruned, dense):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n,m", [(512, 512), (600, 700)])
+def test_indexed_matches_dense_original_order(rng, n, m):
+    """nndistance_indexed: original-order rows/indices, distances bitwise
+    equal to the dense kernel on the ORIGINAL clouds."""
+    p, q = clouds(rng, 2, n, m)
+    d1, i1, d2, i2 = nn_sorted.nndistance_indexed(p, q)
+    dd1, di1, dd2, di2 = distance_tiles.nn_both_directions(p, q)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(dd1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(di1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(dd2))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(di2))
+
+
+def test_indexed_tie_break_lowest_original_index(rng):
+    """Exact ties must resolve to the lowest ORIGINAL index even though
+    the kernel works in Morton-sorted space."""
+    p, q = clouds(rng, 1, 512, 512)
+    # plant exact duplicates in q at scattered indices; p point 0 sits
+    # exactly on the duplicated coordinate -> multiple zero-distance ties
+    dup = q[0, 403].copy()
+    for j in (17, 85, 230, 311, 501):
+        q[0, j] = dup
+    p[0, 0] = dup
+    d1, i1, d2, i2 = map(np.asarray, nn_sorted.nndistance_indexed(p, q))
+    od1, oi1, od2, oi2 = oracles.nndistance(p, q)
+    np.testing.assert_array_equal(i1, oi1)
+    np.testing.assert_array_equal(i2, oi2)
+    np.testing.assert_allclose(d1, od1, atol=1e-6)  # oracle sums in f64
+    assert i1[0, 0] == 17  # lowest of the duplicate set
+
+
+def test_indexed_overflow_falls_back_to_dense(rng, monkeypatch):
+    monkeypatch.setattr(nn_sorted, "_BUDGET_FRAC", 0.01)
+    p, q = clouds(rng, 1, 512, 512)
+    d1, i1, d2, i2 = nn_sorted.nndistance_indexed(p, q)
+    dd1, di1, dd2, di2 = distance_tiles.nn_both_directions(p, q)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(dd1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(di1))
+
+
+def test_nndistance_dispatches_sorted_with_grad(rng, monkeypatch):
+    """Public nndistance at large N rides the indexed sorted path and its
+    custom_vjp backward matches the dense path."""
+    monkeypatch.setattr(chamfer_mod, "_SORTED_MIN_POINTS", 256)
+    from pytorch_points_tpu.ops import nndistance
+
+    p, q = clouds(rng, 2, 600, 512)
+    p, q = jnp.asarray(p), jnp.asarray(q)
+
+    def loss(p, q):
+        d1, _, d2, _ = nndistance(p, q)
+        return jnp.sum(d1) + 0.5 * jnp.sum(d2)
+
+    v_s, (gp_s, gq_s) = jax.value_and_grad(loss, argnums=(0, 1))(p, q)
+    dispatch.force_impl("xla")
+    try:
+        v_d, (gp_d, gq_d) = jax.value_and_grad(loss, argnums=(0, 1))(p, q)
+    finally:
+        dispatch.force_impl("pallas")
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_s), np.asarray(gp_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_d), atol=1e-6)
+
+
+@pytest.mark.parametrize("pfrac,qfrac", [(0.8, 0.5), (1.0, 0.3), (0.6, 1.0)])
+def test_indexed_masked_bitwise_vs_dense_on_poisoned(rng, pfrac, qfrac):
+    """Masked clouds through the pruned kernel: valid rows bitwise equal
+    to the dense kernel on the same poisoned clouds."""
+    from pytorch_points_tpu.core.masking import poison_points
+
+    p, q = clouds(rng, 2, 512, 512)
+    pm = np.arange(512)[None, :] < int(512 * pfrac)
+    qm = np.arange(512)[None, :] < int(512 * qfrac)
+    pm = np.broadcast_to(pm, (2, 512)).copy()
+    qm = np.broadcast_to(qm, (2, 512)).copy()
+    pp = poison_points(jnp.asarray(p), jnp.asarray(pm), sign=1.0)
+    qp = poison_points(jnp.asarray(q), jnp.asarray(qm), sign=-1.0)
+    d1, i1, d2, i2 = map(np.asarray, nn_sorted.nndistance_indexed_masked(pp, qp))
+    dd1, di1, dd2, di2 = map(np.asarray, distance_tiles.nn_both_directions(pp, qp))
+    np.testing.assert_array_equal(d1[pm], dd1[pm])
+    np.testing.assert_array_equal(i1[pm], di1[pm])
+    np.testing.assert_array_equal(d2[qm], dd2[qm])
+    np.testing.assert_array_equal(i2[qm], di2[qm])
+
+
+def test_nndistance_masked_dispatches_sorted(rng, monkeypatch):
+    """Public masked nndistance at large N rides the sorted_masked path:
+    values/indices/grads match the XLA path on the valid set."""
+    monkeypatch.setattr(chamfer_mod, "_SORTED_MIN_POINTS", 256)
+    from pytorch_points_tpu.ops import nndistance
+
+    p, q = clouds(rng, 2, 600, 512)
+    pm = np.ones((2, 600), bool)
+    pm[:, 450:] = False
+    qm = np.ones((2, 512), bool)
+    qm[0, 300:] = False
+    p, q = jnp.asarray(p), jnp.asarray(q)
+    pm_j, qm_j = jnp.asarray(pm), jnp.asarray(qm)
+
+    def loss(p, q):
+        d1, _, d2, _ = nndistance(p, q, pm_j, qm_j)
+        return jnp.sum(d1) + 0.5 * jnp.sum(d2)
+
+    d1, i1, d2, i2 = map(np.asarray, nndistance(p, q, pm_j, qm_j))
+    v_s, (gp_s, gq_s) = jax.value_and_grad(loss, argnums=(0, 1))(p, q)
+    dispatch.force_impl("xla")
+    try:
+        od1, oi1, od2, oi2 = map(np.asarray, nndistance(p, q, pm_j, qm_j))
+        v_d, (gp_d, gq_d) = jax.value_and_grad(loss, argnums=(0, 1))(p, q)
+    finally:
+        dispatch.force_impl("pallas")
+    np.testing.assert_allclose(d1, od1, atol=1e-6)
+    np.testing.assert_array_equal(i1, oi1)
+    np.testing.assert_allclose(d2, od2, atol=1e-6)
+    np.testing.assert_array_equal(i2, oi2)
+    # masked rows are exactly (0, 0)
+    assert np.all(d1[~pm] == 0) and np.all(i1[~pm] == 0)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_s), np.asarray(gp_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_d), atol=1e-6)
+    # padded points receive zero gradient
+    assert np.all(np.asarray(gp_s)[~pm] == 0)
+
+
+def test_indexed_masked_all_valid_matches_unmasked(rng):
+    p, q = clouds(rng, 2, 512, 512)
+    r_m = nn_sorted.nndistance_indexed_masked(p, q)
+    r_u = nn_sorted.nndistance_indexed(p, q)
+    for a, b in zip(r_m, r_u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chamfer_path_markers(rng):
+    """Telemetry markers flip with shape, masks and force_impl."""
+    from pytorch_points_tpu.ops.chamfer import chamfer_path
+
+    small_p = jnp.zeros((1, 256, 3))
+    big_p = jnp.zeros((1, 8192, 3))
+    mask = jnp.ones((1, 8192), bool)
+    assert chamfer_path(big_p, big_p) == "sorted"
+    assert chamfer_path(big_p, big_p, mask) == "sorted_masked"
+    assert chamfer_path(small_p, small_p) == "dense-pallas"
+    dispatch.force_impl("xla")
+    try:
+        assert chamfer_path(big_p, big_p) == "xla"
+    finally:
+        dispatch.force_impl("pallas")
