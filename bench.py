@@ -108,6 +108,20 @@ def main():
         measure(jax.jit(cfg3), x2) * 1e3, 2
     )
 
+    # Config 3s: the same work through the Morton-consistent pipeline
+    # (chunk-pruned resident ball query + fused centered grouping;
+    # ops.sample_and_group_sorted) — same neighborhood sets, centroids in
+    # Morton order (round-2 verdict item 4).
+    from pytorch_points_tpu.ops import sample_and_group_sorted
+
+    def cfg3s(x):
+        _, feats, _, _, _ = sample_and_group_sorted(x, None, 2048, 32, 0.2)
+        return feats
+
+    details["config3s_sorted_pipeline_B16_N16k_ms"] = round(
+        measure(jax.jit(cfg3s), x2) * 1e3, 2
+    )
+
     # --- Config 4: auction EMD B=32 N=2048 ------------------------------
     p4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)
     q4 = jnp.asarray(rng.standard_normal((32, 2048, 3)), jnp.float32)

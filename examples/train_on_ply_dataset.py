@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 import pytorch_points_tpu as ppt
-from pytorch_points_tpu.data import BucketedBatcher, PlyFolderDataset, Prefetcher
+from pytorch_points_tpu.data import BucketedBatcher, PlyFolderDataset
 from pytorch_points_tpu.losses.metrics import chamfer_l1, fscore
 from pytorch_points_tpu.utils import geometry_utils, pc_utils
 from pytorch_points_tpu.utils.trainer import Trainer
@@ -94,9 +94,10 @@ def main():
 
     def epochs():
         while True:
-            # Prefetcher: file reads + padding happen on a background
-            # thread while the device executes the previous step.
-            for batch in Prefetcher(batcher, depth=2):
+            # Trainer.fit wraps this in a data.Prefetcher by default, so
+            # file reads + padding happen on a background thread while
+            # the device executes the previous step.
+            for batch in batcher:
                 yield {"points": jnp.asarray(batch["points"]),
                        "mask": jnp.asarray(batch["mask"])}
 

@@ -140,6 +140,95 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
             out_gz_ref[0] = gz_s[:]
 
 
+def _bq_while_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
+                     r2, tm, ns, nj, with_coords):
+    """Resident while_loop form of _bq_kernel: grid is (B,) with the
+    whole support and all slot tables VMEM-resident, and the support
+    chunk loop STOPS at the first chunk where every query is full.
+
+    The grid form pays ~1 us of grid machinery per chunk step even for
+    the ~80% of chunks its early-exit @pl.when skips (at B=32 N=16k
+    that's ~4.5 ms of pure skip overhead); here unvisited chunks cost
+    nothing.  Bitwise-identical outputs (same scan order and slot
+    arithmetic).
+    """
+    if with_coords:
+        (out_gx_ref, out_gy_ref, out_gz_ref,
+         cnt_s, idx_s, gx_s, gy_s, gz_s) = refs
+    else:
+        cnt_s, idx_s = refs
+    cnt_s[:] = jnp.zeros_like(cnt_s)
+    idx_s[:] = jnp.full_like(idx_s, _IDX_BIG)
+    if with_coords:
+        gx_s[:] = jnp.zeros_like(gx_s)
+        gy_s[:] = jnp.zeros_like(gy_s)
+        gz_s[:] = jnp.zeros_like(gz_s)
+
+    qry = qry_ref[0]  # [8, tP]
+    tp = qry.shape[1]
+    ia = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+    ltri = (ia >= ib).astype(jnp.bfloat16)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, tp), 0).astype(
+        jnp.float32
+    )
+
+    def w_cond(st):
+        j, done = st
+        return jnp.logical_and(j < nj, done == 0)
+
+    def w_body(st):
+        j, _ = st
+        sup = sup_ref[0, j]  # [tM, 8]
+        d2 = jnp.zeros((tm, tp), jnp.float32)
+        for c in range(3):
+            diff = sup[:, c : c + 1] - qry[c : c + 1, :]
+            d2 = d2 + diff * diff
+        hit = d2 < r2
+        cs = jax.lax.dot_general(
+            ltri, hit.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tM, tP] inclusive cumulative hit count, exact (<= tM)
+        im = jax.lax.broadcasted_iota(jnp.int32, (tm, tp), 0) + j * tm
+        keyed = jnp.where(hit, cs, float(_IDX_BIG))
+        max_h = jnp.max(cs[tm - 1 : tm, :]).astype(jnp.int32)
+
+        def h_body(h, _):
+            hf = h.astype(jnp.float32)
+            sel = keyed == hf + 1.0
+            cand = jnp.min(
+                jnp.where(sel, im, _IDX_BIG), axis=0, keepdims=True
+            )
+            slot = cnt_s[:] + hf
+            rowsel = jnp.logical_and(
+                row_iota == slot, cand[0:1, :] < _IDX_BIG
+            )
+            idx_s[:] = jnp.where(rowsel, jnp.minimum(idx_s[:], cand), idx_s[:])
+            if with_coords:
+                for gs, qr in ((gx_s, 0), (gy_s, 1), (gz_s, 2)):
+                    val = jnp.sum(
+                        jnp.where(sel, sup[:, qr : qr + 1], 0.0),
+                        axis=0, keepdims=True,
+                    ) - qry[qr : qr + 1, :]
+                    gs[:] = jnp.where(
+                        rowsel, jnp.broadcast_to(val, gs.shape), gs[:]
+                    )
+            return 0
+
+        jax.lax.fori_loop(0, max_h, h_body, 0)
+        cnt_s[:] = cnt_s[:] + cs[tm - 1 : tm, :]
+        done = (jnp.min(cnt_s[:]) >= ns).astype(jnp.int32)
+        return j + 1, done
+
+    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), jnp.int32(0)))
+    out_idx_ref[0] = idx_s[:]
+    out_cnt_ref[0] = jnp.minimum(cnt_s[:], float(ns)).astype(jnp.int32)
+    if with_coords:
+        out_gx_ref[0] = gx_s[:]
+        out_gy_ref[0] = gy_s[:]
+        out_gz_ref[0] = gz_s[:]
+
+
 def _round_up(v, m):
     return -(-v // m) * m
 
@@ -229,8 +318,13 @@ def _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
         ),
         interpret=interpret_mode(),
     )(qry_t, sup_s)
-    out_idx, out_cnt = outs[0], outs[1]
+    return _finish_bq(outs, xyz, centroids, nsample, p, with_coords)
 
+
+def _finish_bq(outs, xyz, centroids, nsample, p, with_coords):
+    """Shared post-processing: transpose to [B, P, ns], repeat-first-hit
+    fill, zero-hit handling (outs as [B, ns_pad, P_pad] planes)."""
+    out_idx, out_cnt = outs[0], outs[1]
     idx = jnp.transpose(out_idx[:, :nsample, :p], (0, 2, 1))  # [B, P, ns]
     cnt = jnp.minimum(out_cnt[:, 0, :p], nsample)  # kernel caps at ns_pad
     # Pad-by-first-hit; zero-hit rows all zero.
@@ -255,6 +349,82 @@ def _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
     return idx, cnt, g
 
 
+# Largest query count served by the resident while-loop form (slot
+# tables for every query stay VMEM-resident in one tile).
+_RESIDENT_MAX_P = 4096
+
+
+def _ball_query_impl_resident(xyz, centroids, radius, nsample, mask, tm,
+                              with_coords):
+    from pytorch_points_tpu.core.masking import poison_points
+
+    b, n, _ = xyz.shape
+    p = centroids.shape[1]
+    if tm is None:
+        tm = 96 if n >= 2048 else min(256, _round_up(n, 8))
+    ns_pad = _round_up(nsample, 8)
+    p_pad = _round_up(p, 128)
+    m_pad = _round_up(n, tm)
+    nj = m_pad // tm
+    sup = poison_points(xyz, mask, sign=-1.0)
+    sup = _pad_points_poison(sup, m_pad)
+    qry = jnp.pad(centroids, ((0, 0), (0, p_pad - p), (0, 0)), mode="edge")
+    qry_t = jnp.transpose(jnp.pad(qry, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    sup_s = jnp.pad(sup, ((0, 0), (0, 0), (0, 5))).reshape(b, nj, tm, 8)
+
+    out_specs = [
+        pl.BlockSpec((1, ns_pad, p_pad), lambda bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p_pad), lambda bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((1, p_pad), jnp.float32),
+        pltpu.VMEM((ns_pad, p_pad), jnp.int32),
+    ]
+    if with_coords:
+        out_specs += [
+            pl.BlockSpec((1, ns_pad, p_pad), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+        out_shape += [
+            jax.ShapeDtypeStruct((b, ns_pad, p_pad), jnp.float32)
+        ] * 3
+        scratch += [pltpu.VMEM((ns_pad, p_pad), jnp.float32)] * 3
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _bq_while_kernel, r2=float(radius) ** 2, tm=tm, ns=ns_pad,
+            nj=nj, with_coords=with_coords,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 8, p_pad), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, tm, 8), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(9 + 3 * ns_pad) * b * p_pad * m_pad // 4
+            + 2 * b * nj * tm * tm * p_pad // 4,
+            bytes_accessed=4 * b * (8 * p_pad + 8 * m_pad + ns_pad * p_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(qry_t, sup_s)
+    return _finish_bq(outs, xyz, centroids, nsample, p, with_coords)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "nsample", "tp", "tm"))
 def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
                tp: int | None = None, tm: int | None = None):
@@ -262,6 +432,9 @@ def ball_query(xyz, centroids, radius: float, nsample: int, mask=None,
     # Integer-only outputs: sever the tangent path (no AD rules needed).
     xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
     centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
+    if tp is None and centroids.shape[1] <= _RESIDENT_MAX_P:
+        return _ball_query_impl_resident(xyz, centroids, radius, nsample,
+                                         mask, tm, with_coords=False)
     return _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
                             with_coords=False)
 
@@ -282,5 +455,8 @@ def ball_query_and_group_coords(xyz, centroids, radius: float, nsample: int,
     """
     xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
     centroids = jax.lax.stop_gradient(jnp.asarray(centroids, jnp.float32))
+    if tp is None and centroids.shape[1] <= _RESIDENT_MAX_P:
+        return _ball_query_impl_resident(xyz, centroids, radius, nsample,
+                                         mask, tm, with_coords=True)
     return _ball_query_impl(xyz, centroids, radius, nsample, mask, tp, tm,
                             with_coords=True)

@@ -120,8 +120,13 @@ _MAX_PLANE_BYTES = 20 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def furthest_point_sample(xyz, k: int, mask=None):
-    """[B, N, 3] -> [B, k] int32 FPS indices (index-identical to oracle)."""
+def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
+    """[B, N, 3] -> [B, k] int32 FPS indices (index-identical to oracle).
+
+    seed_idx ([B] int32, optional) forces the first selection per cloud:
+    its init slot gets 2e10 (> the uniform 1e10), so the first argmax
+    uniquely picks it — the Morton-consistent pipeline uses this to
+    reproduce the reference FPS set on a permuted cloud."""
     # Integer-only outputs: sever the tangent path so pallas_call is
     # never traced by JVP (it has no AD rules).
     xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
@@ -141,7 +146,7 @@ def furthest_point_sample(xyz, k: int, mask=None):
             # implement if such clouds ever matter.
             from pytorch_points_tpu.ops.sampling import _fps_xla
 
-            return _fps_xla(xyz, k, mask)
+            return _fps_xla(xyz, k, mask, seed_idx=seed_idx)
         outs = []
         for s in range(0, b, rows):
             outs.append(
@@ -149,6 +154,7 @@ def furthest_point_sample(xyz, k: int, mask=None):
                     xyz[s : s + rows],
                     k,
                     None if mask is None else mask[s : s + rows],
+                    None if seed_idx is None else seed_idx[s : s + rows],
                 )
             )
         return jnp.concatenate(outs, axis=0)
@@ -157,6 +163,10 @@ def furthest_point_sample(xyz, k: int, mask=None):
         init = jnp.full((b, n), 1e10, jnp.float32)
     else:
         init = jnp.where(mask, jnp.float32(1e10), -jnp.inf)
+    if seed_idx is not None:
+        init = init.at[jnp.arange(b), jnp.asarray(seed_idx, jnp.int32)].set(
+            2e10
+        )
     # Pad: extra rows are dummy clouds (sliced off), extra cols are
     # never-selectable (-inf).
     init = jnp.pad(init, ((0, bp - b), (0, np_ - n)), constant_values=-jnp.inf)

@@ -154,7 +154,7 @@ def _band_kernel(pt_ref, qm_ref, qc_ref, qp_ref, out_ref, *, tb):
     p = pt_ref[0]  # [8, tB]
     acc = jnp.full((1, tb), jnp.inf, jnp.float32)
     for qref in (qm_ref, qc_ref, qp_ref):
-        q = qref[0]  # [tB, 8]
+        q = qref[0]  # [tBq, 8]
         # diff^2 form, NOT matmul form: the resident kernel computes the
         # same diff^2 arithmetic, so these bounds are consistent with the
         # values it compares against BY CONSTRUCTION (no cancellation
@@ -163,7 +163,7 @@ def _band_kernel(pt_ref, qm_ref, qc_ref, qp_ref, out_ref, *, tb):
         # make bounds undershoot and silently miss candidates at bench
         # scale — and Precision.HIGHEST on a K=3 matmul lowers so badly
         # it cost 12 ms.  The win here is the 3-window fold, not the MXU.
-        d = jnp.zeros((tb, tb), jnp.float32)
+        d = jnp.zeros((q.shape[0], tb), jnp.float32)
         for c in range(3):
             diff = q[:, c : c + 1] - p[c : c + 1, :]
             d = d + diff * diff
@@ -171,19 +171,34 @@ def _band_kernel(pt_ref, qm_ref, qc_ref, qp_ref, out_ref, *, tb):
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("tb",))
-def band_min(ps, qs, tb: int = 512):
-    """Per-point min d^2 over a ~3*tb rank window of the (sorted) other cloud.
+@functools.partial(jax.jit, static_argnames=("tb", "tbq", "stride"))
+def band_min(ps, qs, tb: int = 512, tbq: int | None = None, stride: int = 1):
+    """Per-point min d^2 over a ~3-tile rank window of the (sorted) other
+    cloud.
 
     Both inputs must already be padded to a multiple of tb.  The window for
     p-tile i is q-tiles clamp(i*ratio + {-1, 0, +1}); clamping duplicates
     edge visits, which the running min absorbs.  Computed with the same
     diff^2 arithmetic as the resident kernel, so the bounds are valid
     against its values by construction.
+
+    Two knobs trade bound tightness for time (the minimum over any point
+    SUBSET is still a sound upper bound):
+      tbq: q-window tile size (window = 3*tbq consecutive ranks);
+      stride: subsample the q cloud by this step BEFORE tiling, keeping
+        the window's rank SPAN while scanning 1/stride of its points
+        (strided in-kernel slices do not lower on Mosaic, so the
+        subsample happens here in XLA).
     """
+    if stride > 1:
+        qs = qs[:, ::stride]
+    if tbq is None:
+        tbq = tb
     b, n, _ = ps.shape
     m = qs.shape[1]
-    ni, njq = n // tb, m // tb
+    m -= m % tbq  # drop the ragged tail tile, if any (bound stays sound)
+    qs = qs[:, :m]
+    ni, njq = n // tb, m // tbq
 
     # Clouds may carry extra channels (e.g. original ids in channel 3 for
     # the indexed variant); the kernel only reads channels 0..2.
@@ -205,15 +220,15 @@ def band_min(ps, qs, tb: int = 512):
         in_specs=[
             pl.BlockSpec((1, 8, tb), lambda bi, i: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 8), q_index(0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 8), q_index(1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 8), q_index(2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbq, 8), q_index(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbq, 8), q_index(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbq, 8), q_index(2), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tb), lambda bi, i: (bi, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 10 * b * n * tb,
+            flops=3 * 10 * b * n * tbq,
             bytes_accessed=4 * b * (8 * n + 3 * 8 * m + n),
             transcendentals=0,
         ),
@@ -296,8 +311,11 @@ def band_min_dynamic(ps, qs, centers, tb: int = 512):
 # ---------------------------------------------------------------------------
 
 
-def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
-    """[B, nI, nJ] bool: q-kernel-tile J needed by some point of p-tile I.
+def _cand_mask_lb(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
+    """(mask [B, nI, nJ] bool, lbmin [B, nI, nJ] f32): q-kernel-tile J
+    needed by some point of p-tile I, plus the tile-pair lower bound
+    (min over points and fine sub-tiles) used for best-first visiting
+    and in-kernel early exit.
 
     lb is computed against fine ft-point q-sub-tiles for tightness, then
     OR-folded to kernel tiles.  The (1 - 1e-5) factor absorbs f32 rounding
@@ -315,7 +333,11 @@ def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
     gap = jnp.maximum(jnp.maximum(qlo - pr, pr - qhi), 0.0)
     lb = jnp.sum(gap * gap, axis=-1)  # [B, nI, ktn, nJ, fpk]
     ok = lb * (1.0 - 1e-5) <= d_ub.reshape(b, ni, ktn, 1, 1)
-    return jnp.any(ok, axis=(2, 4))
+    return jnp.any(ok, axis=(2, 4)), jnp.min(lb, axis=(2, 4)) * (1.0 - 1e-5)
+
+
+def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
+    return _cand_mask_lb(ps, qs, d_ub, ft, ktn, ktm)[0]
 
 
 def _compact_pairs(cand, k_max: int):
@@ -340,8 +362,7 @@ def _compact_pairs(cand, k_max: int):
 # ---------------------------------------------------------------------------
 
 
-def _nn_resident_kernel(cnt_ref, pairs_ref, pt3_ref, qs3_ref,
-                        out_d_ref, out_i_ref, accd, acci, *, tm, tn, nj,
+def _nn_resident_kernel(cnt_ref, pairs_ref, *rest, tm, tn, nj,
                         tie_orig=False):
     """One direction, both clouds VMEM-resident: fori_loop over exactly
     count[b] candidate pairs (scalar-prefetched), no per-step DMA.
@@ -358,7 +379,15 @@ def _nn_resident_kernel(cnt_ref, pairs_ref, pt3_ref, qs3_ref,
     original cloud order) instead of the lowest sorted rank.  Same op
     count as the default form (the one iota-where-min is swapped for an
     id-where-min); the across-tile accumulator gains an equality compare.
+
+    NEGATIVE RESULT (measured, bench/probe_r3_band.py): an early-exit
+    variant — pairs ordered (i, ascending lb), per-pair @pl.when skip
+    when lb > max(accd[i]) — ran 13.9 ms vs 10.1 ms plain at the graded
+    shape.  The guard's accumulator read + row-max + control flow cost
+    more than the skipped tiles saved; do not reintroduce without a new
+    measurement.
     """
+    pt3_ref, qs3_ref, out_d_ref, out_i_ref, accd, acci = rest
     bi = pl.program_id(0)
     accd[:] = jnp.full_like(accd, jnp.inf)
     if tie_orig:
@@ -370,29 +399,33 @@ def _nn_resident_kernel(cnt_ref, pairs_ref, pt3_ref, qs3_ref,
         v = pairs_ref[bi, k]
         i = v // nj
         j = v - i * nj  # noqa: E741
-        p = pt3_ref[0, i]  # [8, tN]
-        q = qs3_ref[0, j]  # [tM, 8]
-        d = jnp.zeros((tm, tn), jnp.float32)
-        for c in range(3):
-            diff = q[:, c : c + 1] - p[c : c + 1, :]
-            d = d + diff * diff
-        m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
         prev_d = accd[pl.ds(i, 1), :]
         prev_i = acci[pl.ds(i, 1), :]
-        if tie_orig:
-            qid = q[:, 3:4]  # [tM, 1] f32 original ids
-            a = jnp.min(jnp.where(d == m, qid, float(_IDX_SENTINEL)),
-                        axis=0, keepdims=True)
-            better = jnp.logical_or(
-                m < prev_d, jnp.logical_and(m == prev_d, a < prev_i)
-            )
-        else:
-            ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-            a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
-                        keepdims=True) + j * tm
-            better = m < prev_d
-        accd[pl.ds(i, 1), :] = jnp.where(better, m, prev_d)
-        acci[pl.ds(i, 1), :] = jnp.where(better, a, prev_i)
+
+        def visit():
+            p = pt3_ref[0, i]  # [8, tN]
+            q = qs3_ref[0, j]  # [tM, 8]
+            d = jnp.zeros((tm, tn), jnp.float32)
+            for c in range(3):
+                diff = q[:, c : c + 1] - p[c : c + 1, :]
+                d = d + diff * diff
+            m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
+            if tie_orig:
+                qid = q[:, 3:4]  # [tM, 1] f32 original ids
+                a = jnp.min(jnp.where(d == m, qid, float(_IDX_SENTINEL)),
+                            axis=0, keepdims=True)
+                better = jnp.logical_or(
+                    m < prev_d, jnp.logical_and(m == prev_d, a < prev_i)
+                )
+            else:
+                ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+                a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
+                            keepdims=True) + j * tm
+                better = m < prev_d
+            accd[pl.ds(i, 1), :] = jnp.where(better, m, prev_d)
+            acci[pl.ds(i, 1), :] = jnp.where(better, a, prev_i)
+
+        visit()
         return 0
 
     jax.lax.fori_loop(0, cnt_ref[bi], body, 0)
@@ -424,20 +457,18 @@ def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False):
         qp, ((0, 0), (0, 0), (0, 8 - qp.shape[-1]))
     ).reshape(b, nj, tm, 8)
 
+    ix = lambda bi, *prefetch: (bi, 0, 0, 0)
+    ox = lambda bi, *prefetch: (bi, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, ni, 8, tn), lambda bi, cnt, prs: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nj, tm, 8), lambda bi, cnt, prs: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, 8, tn), ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, tm, 8), ix, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ni, tn), lambda bi, cnt, prs: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ni, tn), lambda bi, cnt, prs: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tn), ox, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tn), ox, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((ni, tn), jnp.float32),
@@ -573,8 +604,10 @@ def nndistance_indexed(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
     pp = _pad_points_poison(ps4, n_pad)
     qp = _pad_points_poison_neg(qs4, m_pad)
 
-    d_ub1 = band_min(pp, qp, tb=tb)
-    d_ub2 = band_min(qp, pp, tb=tb)
+    # Narrow strided band window: half the band cost for +1.6% candidates
+    # (bench/probe_r3_band.py; bound stays sound for any point subset).
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=256, stride=2)
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=256, stride=2)
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
 
@@ -703,8 +736,8 @@ def worklist_stats(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
     align = max(tn, tm, tb)
     pp = _pad_points_poison(ps, _round_up(n, align))
     qp = _pad_points_poison_neg(qs, _round_up(m, align))
-    d_ub1 = band_min(pp, qp, tb=tb)
-    d_ub2 = band_min(qp, pp, tb=tb)
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=256, stride=2)
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=256, stride=2)
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
     ni, nj = cand1.shape[1], cand1.shape[2]

@@ -19,6 +19,7 @@ from pytorch_points_tpu.ops import (
     group_all,
     interpolation_weights,
     sample_and_group,
+    sample_and_group_sorted,
     three_interpolate,
     three_nn,
 )
@@ -34,6 +35,11 @@ class PointNetSAModule(nnx.Module):
       radius: ball radius (None -> kNN grouping).
       nsample: neighbors per centroid.
       use_xyz: concat centered coords to grouped features.
+      sorted_pipeline: use the Morton-consistent chunk-pruned grouping
+        (ops.sample_and_group_sorted) — the pooled output is the same
+        function of the same neighborhood sets, with centroids in Morton
+        order and a documented saturated-ball truncation difference;
+        measurably faster at large N.  Requires radius grouping, no mask.
     """
 
     def __init__(
@@ -47,6 +53,7 @@ class PointNetSAModule(nnx.Module):
         use_xyz: bool = True,
         normalize_radius: bool = False,
         group_all: bool = False,
+        sorted_pipeline: bool = False,
         norm: str | None = "layer",
         rngs: nnx.Rngs,
     ):
@@ -56,6 +63,7 @@ class PointNetSAModule(nnx.Module):
         self.use_xyz = use_xyz
         self.normalize_radius = normalize_radius
         self.group_all = group_all
+        self.sorted_pipeline = sorted_pipeline
         cin = in_channels + (3 if use_xyz or in_channels == 0 else 0)
         self.mlp = SharedMLP([cin, *mlp], norm=norm, rngs=rngs)
 
@@ -64,6 +72,17 @@ class PointNetSAModule(nnx.Module):
         if self.group_all:
             new_xyz, grouped, _, _ = group_all(
                 xyz, features, use_xyz=self.use_xyz
+            )
+        elif (self.sorted_pipeline and self.radius is not None
+              and mask is None):
+            new_xyz, grouped, _, _, _ = sample_and_group_sorted(
+                xyz,
+                features,
+                self.npoint,
+                self.nsample,
+                self.radius,
+                use_xyz=self.use_xyz,
+                normalize_radius=self.normalize_radius,
             )
         else:
             new_xyz, grouped, _, _ = sample_and_group(

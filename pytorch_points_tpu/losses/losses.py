@@ -86,11 +86,19 @@ class EMDLoss:
     phases: int = 3
     reduction: str = "mean"
 
-    def __call__(self, pred, gt):
+    def __call__(self, pred, gt, pred_mask=None, gt_mask=None):
         dist, _ = earth_mover_distance(
-            pred, gt, eps=self.eps, max_iters=self.max_iters, phases=self.phases
+            pred, gt, eps=self.eps, max_iters=self.max_iters,
+            phases=self.phases, p_mask=pred_mask, q_mask=gt_mask,
         )
-        return _reduce(jnp.mean(dist, axis=-1), self.reduction)
+        if pred_mask is None:
+            per = jnp.mean(dist, axis=-1)
+        else:
+            # masked slots carry dist 0; mean over the VALID count
+            per = jnp.sum(dist, axis=-1) / jnp.maximum(
+                jnp.sum(pred_mask, axis=-1), 1
+            )
+        return _reduce(per, self.reduction)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,6 +10,7 @@ from pytorch_points_tpu.ops.grouping import (  # noqa: F401
     group_points,
     knn,
     sample_and_group,
+    sample_and_group_sorted,
 )
 from pytorch_points_tpu.ops.interpolate import (  # noqa: F401
     interpolation_weights,

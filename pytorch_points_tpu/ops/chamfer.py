@@ -157,65 +157,15 @@ def nndistance(p, q, p_mask=None, q_mask=None, impl: str = "auto"):
 # ---------------------------------------------------------------------------
 # Morton-sorted fast path (kernels/nn_sorted.py)
 #
-# The chamfer reduction is permutation-invariant, so the loss can consume
-# the bound-pruned kernel's SORTED-space outputs directly (no un-permute in
-# the forward at all); the backward computes gradients in sorted space and
-# un-permutes them with two one-hot MXU scatters (a permutation scatter is
-# a disjoint set, so scatter-add is exact).  ~2x faster than the dense
-# kernel at the graded N=16k shape, bitwise-identical distances.
+# One shared dispatch for loss, per-point and index consumers: nndistance
+# routes to the bound-pruned indexed kernel at N >= _SORTED_MIN_POINTS —
+# original-order outputs, reference tie-breaks, custom_vjp backward
+# through the saved indices (2 MXU gathers + 2 scatters).  The earlier
+# loss-only sorted path (gradients un-permuted with 2 extra scatters)
+# measured the same 32.7 ms fwd+bwd at B=32 N=16k and was removed.
 # ---------------------------------------------------------------------------
 
 _SORTED_MIN_POINTS = 8192  # per-cloud size where the sorted path wins
-
-
-@jax.custom_vjp
-def _nndistance_sorted_d(p, q):
-    """Differentiable (d1_sorted [B,N], d2_sorted [B,M]) pair."""
-    from pytorch_points_tpu.kernels import nn_sorted
-
-    ps, _ = nn_sorted.sort_by_morton(p)
-    qs, _ = nn_sorted.sort_by_morton(q)
-    d1, _, d2, _ = nn_sorted.nndistance_presorted(ps, qs)
-    return d1, d2
-
-
-def _nndistance_sorted_d_fwd(p, q):
-    from pytorch_points_tpu.kernels import nn_sorted
-
-    ps, perm_p = nn_sorted.sort_by_morton(p)
-    qs, perm_q = nn_sorted.sort_by_morton(q)
-    d1, i1, d2, i2 = nn_sorted.nndistance_presorted(ps, qs)
-    return (d1, d2), (ps, qs, i1, i2, perm_p, perm_q)
-
-
-def _nndistance_sorted_d_bwd(res, g):
-    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
-    from pytorch_points_tpu.ops.sampling import _maybe_pallas_gather
-
-    ps, qs, i1, i2, perm_p, perm_q = res
-    g1, g2 = g
-    n, m = ps.shape[1], qs.shape[1]
-
-    def gather(feat, idx):
-        out = _maybe_pallas_gather(feat, idx)
-        if out is None:
-            out = jnp.take_along_axis(feat, idx[..., None], axis=1)
-        return out
-
-    diff1 = ps - gather(qs, i1)  # [B,N,3], sorted-p space
-    gp_s = 2.0 * g1[..., None] * diff1
-    gq_s = scatter_add_auto(i1, -gp_s, m)
-    diff2 = qs - gather(ps, i2)  # [B,M,3], sorted-q space
-    gq_s = gq_s + 2.0 * g2[..., None] * diff2
-    gp_s = gp_s + scatter_add_auto(i2, -2.0 * g2[..., None] * diff2, n)
-    # un-permute: grad w.r.t. the original row perm[r] is the sorted grad
-    # at rank r; a permutation scatter is disjoint so add == set.
-    gp = scatter_add_auto(perm_p, gp_s, n)
-    gq = scatter_add_auto(perm_q, gq_s, m)
-    return gp, gq
-
-
-_nndistance_sorted_d.defvjp(_nndistance_sorted_d_fwd, _nndistance_sorted_d_bwd)
 
 
 def _sorted_size_ok(p, q, impl):
@@ -273,13 +223,10 @@ def chamfer_distance(
     """
     p = jnp.asarray(p)
     q = jnp.asarray(q)
-    if reduction != "none" and _use_sorted_path(p, q, p_mask, q_mask, impl):
-        with jax.named_scope("ppt.chamfer_sorted"):
-            dist1, dist2 = _nndistance_sorted_d(
-                jnp.asarray(p, jnp.float32), jnp.asarray(q, jnp.float32)
-            )
-    else:
-        dist1, _, dist2, _ = nndistance(p, q, p_mask, q_mask, impl=impl)
+    # nndistance dispatches to the Morton-pruned indexed kernel at large N
+    # (masked or not) — one shared fast path for loss, per-point and index
+    # consumers alike.
+    dist1, _, dist2, _ = nndistance(p, q, p_mask, q_mask, impl=impl)
 
     def _reduce(d, mask):
         if reduction == "none":

@@ -176,6 +176,23 @@ def _emd_bwd(eps, max_iters, phases, impl, pop_cap, res, g):
 _emd.defvjp(_emd_fwd, _emd_bwd)
 
 
+def _poison_rank_matched(x, mask):
+    """Replace invalid points with twin pads shared BY RANK between the
+    two clouds: the r-th invalid slot of p and the r-th invalid slot of q
+    get IDENTICAL far-away coordinates, so the auction matches pad r to
+    pad r at distance 0 and the valid<->valid assignment is undisturbed.
+    Offsets are disjoint from the kernel's own alignment padding
+    (BIG_COORD*8 family in kernels/auction.py)."""
+    if mask is None:
+        return x
+    r = jnp.cumsum(~mask, axis=1) - 1  # rank among invalid slots
+    from pytorch_points_tpu.core.masking import BIG_COORD
+
+    offs = BIG_COORD * 16.0 + 32.0 * r.astype(x.dtype)
+    poison = jnp.zeros_like(x).at[..., 0].set(offs)
+    return jnp.where(mask[..., None], x, poison)
+
+
 def earth_mover_distance(
     p,
     q,
@@ -184,6 +201,8 @@ def earth_mover_distance(
     phases: int = 3,
     impl: str = "auto",
     endgame_pop_cap: int = 384,
+    p_mask=None,
+    q_mask=None,
 ):
     """Auction-approximated EMD between paired equal-size clouds.
 
@@ -215,6 +234,13 @@ def earth_mover_distance(
         Round-1 defaults (greedy completion) were +63% on normal clouds —
         the JV endgame is what makes small budgets usable.
 
+    Masked/bucketed clouds: pass ``p_mask``/``q_mask`` ([B, N] bool,
+    True = real point).  The two clouds must have EQUAL VALID COUNTS per
+    batch element (EMD is a 1-to-1 matching; this mirrors the
+    reference's equal-size contract on the valid sets).  Invalid slots
+    are rank-matched to each other at distance 0, so they contribute
+    nothing to cost or gradient; masked outputs are (dist 0, index 0).
+
     Returns:
       (dist [B, N] squared distances along matched pairs,
        assignment [B, N] int32 permutation: p[i] <-> q[assignment[i]]).
@@ -223,5 +249,14 @@ def earth_mover_distance(
     q = jnp.asarray(q, jnp.float32)
     if p.shape != q.shape or p.ndim != 3:
         raise ValueError(f"EMD needs equal-shape [B,N,3] clouds, got {p.shape} vs {q.shape}")
+    if p_mask is not None or q_mask is not None:
+        pp = _poison_rank_matched(p, p_mask)
+        qp = _poison_rank_matched(q, q_mask)
+        dist, assign = _emd(pp, qp, float(eps), int(max_iters), int(phases),
+                            impl, int(endgame_pop_cap))
+        if p_mask is not None:
+            dist = jnp.where(p_mask, dist, 0.0)
+            assign = jnp.where(p_mask, assign, 0)
+        return dist, assign
     return _emd(p, q, float(eps), int(max_iters), int(phases), impl,
                 int(endgame_pop_cap))

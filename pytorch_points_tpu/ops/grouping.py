@@ -376,6 +376,80 @@ def sample_and_group(
     return new_xyz, new_features, idx, grouped_xyz
 
 
+def sample_and_group_sorted(
+    xyz,
+    features,
+    npoint: int,
+    nsample: int,
+    radius: float,
+    *,
+    use_xyz: bool = True,
+    normalize_radius: bool = False,
+    impl: str = "auto",
+):
+    """Morton-consistent SA front half for ORDER-FREE consumers
+    (round-2 verdict item 4).
+
+    Sorts the cloud once, then runs FPS -> chunk-pruned resident ball
+    query (+fused centered grouping) entirely in sorted space
+    (kernels/bq_sorted.py).  Produces the same NEIGHBORHOOD SETS as
+    :func:`sample_and_group` with three documented order differences:
+
+      a. centroids arrive in Morton order, not FPS selection order;
+      b. within-group hits are ordered by sorted (Morton) rank, not
+         original index;
+      c. when a ball holds more than ``nsample`` points, the kept subset
+         is the first ``nsample`` in sorted order, not original order.
+
+    An SA layer (shared MLP + max-pool over the group) is invariant to
+    (a) and (b) and treats (c) as an equivalent ball sampling; use the
+    default :func:`sample_and_group` when exact reference ordering
+    matters.  Masked clouds should use the default path.
+
+    Returns (new_xyz [B,P,3] Morton-ordered, new_features
+    [B,P,nsample,C'], idx [B,P,nsample] into the SORTED cloud,
+    grouped_xyz, perm [B,N] with sorted = xyz[perm]).
+    """
+    from pytorch_points_tpu.kernels import nn_sorted
+
+    xyz = jnp.asarray(xyz, jnp.float32)
+    xs, perm = nn_sorted.sort_by_morton(xyz)
+    # Seed FPS with the pre-sort first point so the selected SET matches
+    # the reference pipeline (FPS is input-order independent beyond the
+    # seed, exact ties aside).
+    seed = jnp.argmax(perm == 0, axis=1).astype(jnp.int32)
+    idx_fps = furthest_point_sample(xs, npoint, impl=impl, seed_idx=seed)
+    cen = gather_points(xs, idx_fps)
+    cs, _ = nn_sorted.sort_by_morton(cen)
+    if dispatch.resolve(impl, "ball_query") == "pallas":
+        from pytorch_points_tpu.kernels import bq_sorted
+
+        idx, _, centered = bq_sorted.ball_query_sorted(
+            xs, cs, float(radius), int(nsample), with_coords=True
+        )
+        grouped_xyz = centered + cs[:, :, None, :]
+    else:
+        idx, _ = ball_query(xs, cs, radius, nsample, impl=impl)
+        grouped_xyz = group_points(xs, idx)
+        centered = grouped_xyz - cs[:, :, None, :]
+    if normalize_radius:
+        centered = centered / radius
+    if features is not None:
+        fs = jnp.take_along_axis(
+            jnp.asarray(features), perm[..., None], axis=1
+        )
+        grouped_features = group_points(fs, idx)
+        if use_xyz:
+            new_features = jnp.concatenate(
+                [centered, grouped_features], axis=-1
+            )
+        else:
+            new_features = grouped_features
+    else:
+        new_features = centered
+    return cs, new_features, idx, grouped_xyz, perm
+
+
 def group_all(xyz, features, *, use_xyz: bool = True):
     """Degenerate SA grouping treating the whole cloud as one group."""
     grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, 3]

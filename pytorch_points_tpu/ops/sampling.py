@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from pytorch_points_tpu.kernels import dispatch
 
 
-def _fps_xla(xyz, k, mask):
+def _fps_xla(xyz, k, mask, seed_idx=None):
     """Pure-XLA FPS. xyz [B,N,3] f32, mask [B,N] bool or None -> idx [B,k] i32."""
     b, n, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
@@ -34,8 +34,12 @@ def _fps_xla(xyz, k, mask):
     neg = jnp.float32(-jnp.inf)
     init_mind = jnp.where(mask, jnp.float32(1e10), neg)
 
-    # First selected index: first valid point (index 0 when unmasked).
-    first = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    # First selected index: first valid point (index 0 when unmasked),
+    # or the caller-forced seed.
+    if seed_idx is None:
+        first = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    else:
+        first = jnp.asarray(seed_idx, jnp.int32)
 
     def body(i, state):
         mind, last, out = state
@@ -54,7 +58,8 @@ def _fps_xla(xyz, k, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "impl"))
-def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
+def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto",
+                          seed_idx=None):
     """Select ``k`` furthest-point-sampled indices from each cloud.
 
     Args:
@@ -65,10 +70,10 @@ def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
         re-selects the point most distant from the selected set (which will
         be a duplicate) — callers should bucket so k <= num_valid.
       impl: "auto" | "pallas" | "xla".
-
-    Returns:
-      [B, k] int32 indices; column 0 is the first valid index (0 when
-      unmasked), matching the reference seeding.
+      seed_idx: optional [B] int32 — force the FIRST selection per cloud
+        (default: lowest valid index, the reference seeding).  Used by
+        the Morton-consistent pipeline to select the same FPS set on a
+        permuted cloud.
     """
     xyz = jnp.asarray(xyz)
     if xyz.ndim != 3:
@@ -78,8 +83,9 @@ def furthest_point_sample(xyz, k: int, mask=None, impl: str = "auto"):
         if resolved == "pallas":
             from pytorch_points_tpu.kernels import fps as fps_kernel
 
-            return fps_kernel.furthest_point_sample(xyz, k, mask)
-        return _fps_xla(xyz, k, mask)
+            return fps_kernel.furthest_point_sample(xyz, k, mask,
+                                                    seed_idx=seed_idx)
+        return _fps_xla(xyz, k, mask, seed_idx=seed_idx)
 
 
 def _gather_forward(features, idx):

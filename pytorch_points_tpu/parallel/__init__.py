@@ -22,7 +22,9 @@ from pytorch_points_tpu.parallel.data_parallel import (  # noqa: F401
     reconstruction_loss,
 )
 from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
+    ball_query_sharded,
     chamfer_sharded,
+    furthest_point_sample_sharded,
     nndistance_ring,
     nndistance_sharded,
 )

@@ -80,6 +80,124 @@ def chamfer_sharded(p, q, mesh, *, points_axis: str = "points"):
     return jnp.mean(jnp.mean(d1, -1) + jnp.mean(d2, -1))
 
 
+def furthest_point_sample_sharded(xyz, k: int, mesh, mask=None, *,
+                                  points_axis: str = "points"):
+    """FPS with the CLOUD sharded over the points axis (SURVEY.md §6
+    "beyond-HBM N" analog for the sampling family).
+
+    Each device keeps its shard's running min-distance plane resident; a
+    step exchanges only the per-device argmax candidates ([ndev, B]
+    all_gather) and the winner's coordinates (one psum) over ICI —
+    O(k * ndev * B) bytes of communication total, independent of N.
+    Index-identical to the single-device kernel: the shard order follows
+    the global index order, so the lowest-index tie rule survives the
+    two-level (local, then cross-device) argmax combine.
+
+    Args:
+      xyz: [B, N, 3] sharded (or shardable) over N; N divisible by the
+        axis size.
+      mask: optional [B, N] validity mask, sharded like xyz.
+
+    Returns:
+      [B, k] int32 global indices, replicated.
+    """
+
+    def impl_body(x_shard, m_shard):
+        ndev = jax.lax.axis_size(points_axis)
+        me = jax.lax.axis_index(points_axis)
+        b, n_loc, _ = x_shard.shape
+        iota_loc = jnp.arange(n_loc, dtype=jnp.int32)[None, :]
+        if m_shard is None:
+            mind0 = jnp.full((b, n_loc), 1e10, jnp.float32)
+        else:
+            mind0 = jnp.where(m_shard, jnp.float32(1e10), -jnp.inf)
+        big = jnp.int32(2**30)
+
+        def body(j, carry):
+            mind, sel_c, out = carry
+            d = jnp.sum((x_shard - sel_c[:, None, :]) ** 2, axis=-1)
+            mind = jnp.where(j > 0, jnp.minimum(mind, d), mind)
+            # local argmax, lowest local index on ties
+            mloc = jnp.max(mind, axis=1)  # [B]
+            aloc = jnp.min(
+                jnp.where(mind == mloc[:, None], iota_loc, big), axis=1
+            )
+            gloc = aloc + me * n_loc
+            allm = jax.lax.all_gather(mloc, points_axis)  # [ndev, B]
+            allg = jax.lax.all_gather(gloc, points_axis)
+            gm = jnp.max(allm, axis=0)  # [B]
+            # device order == global index order -> min global index
+            gidx = jnp.min(
+                jnp.where(allm == gm[None], allg, big), axis=0
+            ).astype(jnp.int32)
+            # winner's coordinates: one-hot local extract + psum
+            loc = gidx - me * n_loc
+            onehot = jnp.logical_and(
+                iota_loc == loc[:, None],
+                jnp.logical_and(loc >= 0, loc < n_loc)[:, None],
+            )
+            c = jnp.sum(jnp.where(onehot[..., None], x_shard, 0.0), axis=1)
+            c = jax.lax.psum(c, points_axis)  # [B, 3]
+            out = out.at[:, j].set(gidx)
+            return mind, c, out
+
+        init = (
+            mind0,
+            jnp.zeros((b, 3), jnp.float32),
+            jnp.zeros((b, k), jnp.int32),
+        )
+        _, _, out = jax.lax.fori_loop(0, k, body, init)
+        return out
+
+    if mask is None:
+        return jax.shard_map(
+            lambda x: impl_body(x, None),
+            mesh=mesh,
+            in_specs=(P(None, points_axis, None),),
+            out_specs=P(),
+            check_vma=False,
+        )(xyz)
+    return jax.shard_map(
+        impl_body,
+        mesh=mesh,
+        in_specs=(P(None, points_axis, None), P(None, points_axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(xyz, mask)
+
+
+def ball_query_sharded(xyz, centroids, radius: float, nsample: int, mesh,
+                       mask=None, *, points_axis: str = "points"):
+    """Ball query with the QUERY set sharded over the points axis
+    (embarrassingly parallel: support replicated, zero communication).
+
+    Returns (idx [B, P, nsample], cnt [B, P]) sharded over P."""
+    from pytorch_points_tpu.ops.grouping import ball_query
+
+    if mask is None:
+        def impl0(x_full, cen_shard):
+            return ball_query(x_full, cen_shard, radius, nsample)
+
+        return jax.shard_map(
+            impl0,
+            mesh=mesh,
+            in_specs=(P(), P(None, points_axis, None)),
+            out_specs=(P(None, points_axis, None), P(None, points_axis)),
+            check_vma=False,
+        )(xyz, centroids)
+
+    def impl1(x_full, cen_shard, m_full):
+        return ball_query(x_full, cen_shard, radius, nsample, mask=m_full)
+
+    return jax.shard_map(
+        impl1,
+        mesh=mesh,
+        in_specs=(P(), P(None, points_axis, None), P()),
+        out_specs=(P(None, points_axis, None), P(None, points_axis)),
+        check_vma=False,
+    )(xyz, centroids, mask)
+
+
 def nndistance_ring(p, q, mesh, *, points_axis: str = "points"):
     """Fully-sharded bidirectional nndistance via a ring pass (SURVEY.md §6).
 

@@ -56,10 +56,19 @@ class Trainer:
         log.info("restored checkpoint (step arg: %s)", step)
 
     def fit(self, batches: Iterable, steps: int | None = None,
-            on_log: Callable | None = None):
+            on_log: Callable | None = None, prefetch: int | None = 2):
         """Run the loop over ``batches`` (dicts of arrays).
 
+        Host-side batch preparation overlaps device compute by default:
+        any iterable that is not already a data.Prefetcher is wrapped in
+        one (depth=``prefetch``; the runtime role of the reference's
+        DataLoader workers).  Pass ``prefetch=None`` to iterate directly.
+
         Returns the final loss (float)."""
+        from pytorch_points_tpu.data import Prefetcher
+
+        if prefetch is not None and not isinstance(batches, Prefetcher):
+            batches = Prefetcher(batches, depth=prefetch)
         loss = None
         for batch in batches:
             self.state, loss = self.step_fn(self.state, batch)

@@ -154,3 +154,64 @@ def test_sample_and_group_knn_mode(rng):
     assert new_feats.shape == (1, 8, 4, 3)
     _, oidx = oracles.knn(np.asarray(new_xyz), xyz, 4)
     np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+def test_ball_query_sorted_bitwise_vs_dense(rng):
+    """Chunk-pruned resident ball query == dense grid kernel on the same
+    Morton-sorted inputs, bitwise (kernels/bq_sorted.py)."""
+    from pytorch_points_tpu.kernels import ballquery, bq_sorted, nn_sorted
+
+    sup = jnp.asarray(rng.uniform(-1, 1, (2, 1024, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 256, 3)), jnp.float32)
+    sups, _ = nn_sorted.sort_by_morton(sup)
+    qs, _ = nn_sorted.sort_by_morton(q)
+    r1 = bq_sorted.ball_query_sorted(sups, qs, 0.2, 16, tp=128, tm=64,
+                                     with_coords=True)
+    r0 = ballquery.ball_query_and_group_coords(sups, qs, 0.2, 16)
+    for a, b in zip(r1, r0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_and_group_sorted_same_sets(rng):
+    """sample_and_group_sorted returns the same neighborhood sets as the
+    reference-ordered path, up to centroid order and within-group order
+    (nsample chosen large enough that no ball saturates)."""
+    from pytorch_points_tpu.ops import sample_and_group, sample_and_group_sorted
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, (2, 512, 3)), jnp.float32)
+    nx0, gf0, _, _ = sample_and_group(xyz, None, 64, 48, 0.25)
+    nxs, gfs, _, _, _ = sample_and_group_sorted(xyz, None, 64, 48, 0.25)
+    nx0, gf0, nxs, gfs = map(np.asarray, (nx0, gf0, nxs, gfs))
+    # centroid SETS equal (Morton order vs FPS order)
+    for b in range(2):
+        s0 = {tuple(r) for r in nx0[b].round(6).tolist()}
+        ss = {tuple(r) for r in nxs[b].round(6).tolist()}
+        assert s0 == ss
+        # match centroids, compare neighborhood sets of centered coords
+        key0 = {tuple(r): i for i, r in enumerate(nx0[b].round(6).tolist())}
+        for i, r in enumerate(nxs[b].round(6).tolist()):
+            j = key0[tuple(r)]
+            g0 = {tuple(x) for x in gf0[b, j].round(5).tolist()}
+            gs = {tuple(x) for x in gfs[b, i].round(5).tolist()}
+            assert g0 == gs, (b, i, j)
+
+
+def test_sa_module_sorted_pipeline_pooled_equal(rng):
+    """SA layer pooled features are invariant to the sorted pipeline (up
+    to centroid permutation)."""
+    from flax import nnx
+
+    from pytorch_points_tpu.layers import PointNetSAModule
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, (2, 512, 3)), jnp.float32)
+    kw = dict(npoint=64, radius=0.25, nsample=48, norm=None)
+    sa0 = PointNetSAModule(0, [16, 32], rngs=nnx.Rngs(0), **kw)
+    sas = PointNetSAModule(0, [16, 32], rngs=nnx.Rngs(0),
+                           sorted_pipeline=True, **kw)
+    nx0, f0 = sa0(xyz)
+    nxs, fs = sas(xyz)
+    nx0, f0, nxs, fs = map(np.asarray, (nx0, f0, nxs, fs))
+    for b in range(2):
+        key0 = {tuple(r): i for i, r in enumerate(nx0[b].round(6).tolist())}
+        perm = [key0[tuple(r)] for r in nxs[b].round(6).tolist()]
+        np.testing.assert_allclose(fs[b], f0[b][perm], atol=2e-5)

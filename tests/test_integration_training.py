@@ -102,3 +102,40 @@ def test_ply_dataset_example_smoke(tmp_path, monkeypatch):
     first, final, cl1, fs = ex.main()
     assert final < first
     assert np.isfinite(cl1) and 0.0 <= fs <= 1.0
+
+
+def test_trainer_fit_prefetches_by_default(rng):
+    """fit() must wrap a plain iterable in data.Prefetcher (overlap is the
+    default, not opt-in — round-2 verdict item 8): the batch generator is
+    consumed on a background thread, and prefetch=None opts out."""
+    import threading
+
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from pytorch_points_tpu.models import PointCloudAutoencoder
+    from pytorch_points_tpu.utils.trainer import Trainer
+
+    model = PointCloudAutoencoder(npoint1=8, npoint2=4, rngs=nnx.Rngs(0))
+
+    def loss_fn(m, batch):
+        import pytorch_points_tpu as ppt
+
+        return ppt.chamfer_distance(m(batch["points"]), batch["points"])
+
+    pts = jnp.asarray(rng.standard_normal((8, 64, 3)), jnp.float32)
+    threads = []
+
+    def gen(k):
+        for _ in range(k):
+            threads.append(threading.current_thread())
+            yield {"points": pts}
+
+    tr = Trainer(model, optax.sgd(1e-3), loss_fn, log_every=10**9)
+    tr.fit(gen(2), steps=2)
+    assert threads and all(t is not threading.main_thread() for t in threads)
+
+    threads.clear()
+    tr.fit(gen(2), steps=4, prefetch=None)
+    assert threads and all(t is threading.main_thread() for t in threads)

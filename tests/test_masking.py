@@ -126,3 +126,49 @@ def test_emd_pads_match_pads(rng):
     a = np.asarray(assign)
     assert (np.sort(a, axis=1) == np.arange(24)).all()  # permutation
     assert np.asarray(d).max() < 16.0  # never matched to a pad twin
+
+
+def test_emd_masked_equals_valid_prefix(rng):
+    """Masked EMD (round-3 API): invalid slots rank-match each other at
+    distance 0, so the valid assignment and cost match running EMD on the
+    valid prefixes alone; masked outputs are (0, 0) and masked points get
+    zero gradient."""
+    B, N, V = 2, 32, 20
+    p = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    # scattered (non-prefix) masks with equal valid counts
+    pm = np.zeros((B, N), bool)
+    qm = np.zeros((B, N), bool)
+    prng = np.random.default_rng(3)
+    for b in range(B):
+        pm[b, prng.choice(N, V, replace=False)] = True
+        qm[b, prng.choice(N, V, replace=False)] = True
+    pmj, qmj = jnp.asarray(pm), jnp.asarray(qm)
+
+    d, a = ppt.earth_mover_distance(p, q, eps=0.002, max_iters=200,
+                                    p_mask=pmj, q_mask=qmj)
+    d, a = np.asarray(d), np.asarray(a)
+    # masked outputs are exactly (0, 0)
+    assert (d[~pm] == 0).all() and (a[~pm] == 0).all()
+    # valid persons match valid objects, bijectively
+    for b in range(B):
+        va = a[b][pm[b]]
+        assert qm[b][va].all()
+        assert len(set(va.tolist())) == V
+    # cost matches EMD on the compacted valid prefixes (same point sets)
+    pc = np.stack([np.asarray(p)[b][pm[b]] for b in range(B)])
+    qc = np.stack([np.asarray(q)[b][qm[b]] for b in range(B)])
+    dv, _ = ppt.earth_mover_distance(jnp.asarray(pc), jnp.asarray(qc),
+                                     eps=0.002, max_iters=200)
+    got = d.sum(1) / V
+    want = np.asarray(dv).mean(1)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=1e-3)
+
+    # gradient: masked points receive exactly zero
+    from pytorch_points_tpu.losses import EMDLoss
+
+    gfn = jax.grad(lambda p: EMDLoss(eps=0.002, max_iters=200)(
+        p, q, pred_mask=pmj, gt_mask=qmj))
+    gp = np.asarray(gfn(p))
+    assert (gp[~pm] == 0).all()
+    assert np.abs(gp[pm]).max() > 0

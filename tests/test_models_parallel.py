@@ -267,3 +267,39 @@ def test_profiling_trace(tmp_path, rng):
         f for _, _, fs in os.walk(tmp_path / "tr") for f in fs
     )
     assert found, "no trace files written"
+
+
+def test_fps_sharded_index_identical(rng):
+    """Point-sharded FPS == single-device FPS, indices exactly equal
+    (the two-level argmax combine preserves the lowest-index tie rule)."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops import furthest_point_sample
+
+    mesh = parallel.make_mesh({"points": 8})
+    xyz = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    got = parallel.furthest_point_sample_sharded(xyz, 16, mesh)
+    want = furthest_point_sample(xyz, 16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # masked: invalid points never selected, still index-identical
+    mask = np.ones((2, 128), bool)
+    mask[:, 40:88] = False
+    got_m = parallel.furthest_point_sample_sharded(
+        xyz, 16, mesh, mask=jnp.asarray(mask)
+    )
+    want_m = furthest_point_sample(xyz, 16, mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+
+
+def test_ball_query_sharded_matches(rng):
+    """Query-sharded ball query == replicated ball query exactly."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops import ball_query
+
+    mesh = parallel.make_mesh({"points": 8})
+    xyz = jnp.asarray(rng.standard_normal((2, 96, 3)), jnp.float32)
+    cen = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+    gi, gc = parallel.ball_query_sharded(xyz, cen, 0.8, 8, mesh)
+    wi, wc = ball_query(xyz, cen, 0.8, 8)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
