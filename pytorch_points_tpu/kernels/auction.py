@@ -42,29 +42,12 @@ _IDX_BIG = 2**30
 _NEG = -1.0e30
 
 
-def _auction_kernel(ps_ref, qt_ref, *refs, eps, max_iters, ti, n, phases,
-                    scale, cache_benefit, warm=False):
-    """Bertsekas auction (see module docstring).
-
-    warm=True: an extra input carries prices from a previous run; the
-    kernel reruns the eps-scaling phase ladder from that warm price
-    state — used by the adaptive straggler continuation, which fires
-    only when the standard budget leaves many unassigned persons
-    (spatially correlated clouds; see auction_assignment).  Measured
-    (bench/probe_r3_emd_dbg.py): merely EXTENDING the final fine-eps
-    phase resolves <1 straggler/iteration (the classic auction endgame
-    crawl); re-running the phase ladder (owner resets, warm prices) is
-    what actually converges."""
-    if warm:
-        price_in, out_ref, price_ref, price_s, owner_s, ben_s = refs
-    else:
-        out_ref, price_ref, price_s, owner_s, ben_s = refs
+def _auction_kernel(ps_ref, qt_ref, out_ref, price_ref, price_s, owner_s,
+                    ben_s, *, eps, max_iters, ti, n, phases, scale,
+                    cache_benefit, budgets=()):
     nchunks = n // ti
 
-    if warm:
-        price_s[:] = price_in[0]
-    else:
-        price_s[:] = jnp.zeros_like(price_s)
+    price_s[:] = jnp.zeros_like(price_s)
 
     def _compute_benefit(ci):
         pc = ps_ref[0, pl.ds(ci * ti, ti), :]  # [tI, 8]
@@ -125,26 +108,36 @@ def _auction_kernel(ps_ref, qt_ref, *refs, eps, max_iters, ti, n, phases,
         return eps_k
 
     def iter_body(state):
-        it, _, eps_k = state
+        it, _, eps_k, bound = state
         jax.lax.fori_loop(0, nchunks, person_chunk, eps_k)
         done = jnp.min(owner_s[:]) >= 0
-        return it + 1, done, eps_k
+        return it + 1, done, eps_k, bound
 
     def iter_cond(state):
-        it, done, _ = state
-        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+        it, done, _, bound = state
+        return jnp.logical_and(it < bound, jnp.logical_not(done))
 
     # Bertsekas eps-scaling: early phases with coarse eps converge in a
     # handful of iterations and leave near-optimal prices as a warm start
     # for the final, fine-eps phase (assignment resets between phases,
     # prices carry over).
-    def phase(_, eps_k):
+    #
+    # PER-PHASE budgets (static unroll — ``phases`` is small): each phase
+    # gets budgets[ph], defaulting to max_iters.  Under-converged phases
+    # are the root cause of the correlated-cloud straggler flood the JV
+    # endgame then pays ~0.3 ms each for, but phases do NOT reliably
+    # converge early (random clouds churn at every eps), so budget is a
+    # real per-phase knob, not a free headroom (measured:
+    # bench/probe_r3_emd_sweep.py / probe_r3_emd_phase.py).
+    eps_k = float(eps * scale ** (phases - 1))
+    for ph in range(phases):
+        bound = jnp.int32(budgets[ph] if ph < len(budgets) else max_iters)
         owner_s[:] = jnp.full_like(owner_s, -1)
-        jax.lax.while_loop(iter_cond, iter_body, (jnp.int32(0), False, eps_k))
-        return eps_k / scale  # next phase refines (Mosaic has no powf)
-
-    eps0 = jnp.float32(eps * scale ** (phases - 1))
-    jax.lax.fori_loop(0, phases, phase, eps0)
+        jax.lax.while_loop(
+            iter_cond, iter_body,
+            (jnp.int32(0), False, jnp.float32(eps_k), bound),
+        )
+        eps_k = eps_k / scale  # next phase refines
 
     # Emit the object->person map (lane-major, zero-copy); the wrapper
     # inverts it to person->object with one XLA scatter.
@@ -395,7 +388,7 @@ def _residual_rounds(owner, price, p, q, eps, n, s_max=256, max_rounds=16,
     return owner
 
 
-def _auction_owner(p, q, eps, max_iters, ti, phases, scale):
+def _auction_owner(p, q, eps, max_iters, ti, phases, scale, budgets=()):
     """Run the on-chip auction; returns (owner [B,N'] object->person,
     padded p, padded q).  -1 in owner = object never bid on (its person
     partner is left for the completion pass)."""
@@ -427,6 +420,7 @@ def _auction_owner(p, q, eps, max_iters, ti, phases, scale):
             phases=int(phases),
             scale=float(scale),
             cache_benefit=cache_benefit,
+            budgets=tuple(int(v) for v in budgets),
         ),
         grid=(b,),
         in_specs=[
@@ -469,68 +463,41 @@ def _auction_owner(p, q, eps, max_iters, ti, phases, scale):
     return owner[:, 0, :], price[:, 0, :], p, q
 
 
-def _auction_continue(p, q, price, eps, extra_iters, ti):
-    """Warm continuation: rerun a short eps-scaling ladder (2 phases,
-    owner resets per phase) from the given price state.  Runs inside a
-    lax.cond branch."""
-    b, n_pad, _ = p.shape
-    ps = jnp.pad(p, ((0, 0), (0, 0), (0, 5)))
-    qt = jnp.transpose(jnp.pad(q, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
-    cache_benefit = n_pad * n_pad * 4 <= 96 * 1024 * 1024
-    out = pl.pallas_call(
-        functools.partial(
-            _auction_kernel, eps=float(eps), max_iters=int(extra_iters),
-            ti=ti, n=n_pad, phases=2, scale=6.0,
-            cache_benefit=cache_benefit, warm=True,
-        ),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, 8), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, n_pad), jnp.float32),
-            pltpu.VMEM((1, n_pad), jnp.int32),
-            pltpu.VMEM(
-                (n_pad if cache_benefit else 8, n_pad), jnp.float32
-            ),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=27 * b * n_pad * n_pad * min(int(extra_iters), 100),
-            bytes_accessed=4 * b * n_pad * 18,
-            transcendentals=0,
-        ),
-        interpret=interpret_mode(),
-    )(ps, qt, price[:, None, :])
-    return out[0][:, 0, :], out[1][:, 0, :]
+def _hardness_hint(p, q, thresh: float = 0.04):
+    """Cheap pre-auction difficulty signal: mean NN distance over mean
+    pairwise distance, on ~512-point subsamples ([B, 512, 512] planes,
+    ~1 ms).
+
+    Auction difficulty is price-war contention — many objects looking
+    near-equally good to a person — which scales with how large the
+    typical NN distance is relative to the cloud's distance scale.
+    Measured on the bench distributions: uniform ~0.012, standard normal
+    ~0.02 (both fast at the default budget), correlated model-output
+    ~0.055 (68 -> 46 ms with the generous ladder), gaussian-mixture
+    ~0.08-0.12 (the round-2 slow case).  An asymmetry-ratio hint was
+    tried first and did NOT separate these (bench/probe_r3_emd_auto.py).
+    The hint only picks the iteration budget — completion and the
+    eps-CS quality bound come from the JV endgame either way, so a miss
+    costs time, never correctness."""
+    from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
+
+    s = max(1, p.shape[1] // 512)
+    ps, qs = p[:, ::s], q[:, ::s]
+    d = pairwise_sqdist(ps, qs)
+    nn = jnp.mean(jnp.min(d, axis=2), axis=1)  # [B]
+    scale_ = jnp.mean(d, axis=(1, 2))
+    return jnp.any(nn > thresh * scale_)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "max_iters", "ti", "phases", "scale", "pop_cap",
-                     "adaptive_iters", "adaptive_threshold"),
+                     "budgets", "auto_budget"),
 )
 def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
                        phases: int = 1, scale: float = 6.0,
-                       pop_cap: int = 384, adaptive_iters: int = 25,
-                       adaptive_threshold: int = 96):
+                       pop_cap: int = 384, budgets: tuple = (),
+                       auto_budget: bool = True):
     """[B,N,3] x2 -> person->object assignment [B,N] int32 (permutation).
 
     ``phases > 1`` enables eps-scaling (phase k uses eps*scale^(phases-1-k),
@@ -551,23 +518,27 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
     p = jax.lax.stop_gradient(jnp.asarray(p, jnp.float32))
     q = jax.lax.stop_gradient(jnp.asarray(q, jnp.float32))
     b, n, _ = p.shape
-    owner, price, p, q = _auction_owner(p, q, eps, max_iters, ti, phases, scale)
-    if adaptive_iters > 0:
-        # Straggler-adaptive continuation: each JV-endgame straggler
-        # costs ~0.3 ms (sequential Dijkstra slots) while an extra warm
-        # auction iteration costs ~0.3 ms TOTAL and clears many — but
-        # only on distributions that leave many stragglers (spatially
-        # correlated clouds leave ~180/2048 at the default budget vs
-        # ~57 random; bench/probe_r3_emd_sweep.py: 64.8 -> ~48 ms).  The
-        # lax.cond keeps the already-converged case at zero cost.
-        mean_stragglers = jnp.sum(owner < 0) // jnp.maximum(b, 1)
-        owner, price = jax.lax.cond(
-            mean_stragglers > adaptive_threshold,
-            lambda args: _auction_continue(p, q, args[1], eps,
-                                           adaptive_iters, ti),
-            lambda args: args,
-            (owner, price),
+    if auto_budget and not budgets and phases >= 2:
+        # Distribution-adaptive phase budgets (measured on v5e,
+        # bench/probe_r3_emd_phase.py at N=2048): the default ladder is
+        # best on symmetric clouds (random B=32: 54 ms; generous budgets
+        # burn +20-30 ms there), the generous ladder on asymmetric ones
+        # (correlated B=16: 68.5 -> 46.4 ms, stragglers 179 -> ~40, and
+        # BETTER assignments).  One lax.cond picks per call.
+        hard_budgets = ((40, 25) + (max_iters,) * phases)[:phases - 1] + (
+            max_iters,
         )
+
+        def run(bud):
+            return lambda _: _auction_owner(p, q, eps, max_iters, ti,
+                                            phases, scale, bud)
+
+        owner, price, p, q = jax.lax.cond(
+            _hardness_hint(p, q), run(hard_budgets), run(()), None
+        )
+    else:
+        owner, price, p, q = _auction_owner(p, q, eps, max_iters, ti, phases,
+                                            scale, budgets)
     owner = _residual_rounds(owner, price, p, q, eps, n, pop_cap=pop_cap)
     n_pad = owner.shape[1]
     # Invert to person -> object; persons never appearing stay _IDX_BIG.
