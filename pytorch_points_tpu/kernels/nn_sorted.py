@@ -346,7 +346,8 @@ def _compact_pairs(cand, k_max: int):
     Stable argsort keeps candidate pairs in flat i-major order, so the
     kernel visits q-tiles in ascending order per p-tile — reproducing the
     dense scan's across-tile tie-break exactly.  Padding entries beyond
-    count alias pair (0, 0); the kernel never reads them.
+    count alias pair (0, 0); the unrolled kernel may revisit up to
+    unroll-1 of them per batch row (idempotent — see _nn_resident_kernel).
     """
     b, ni, nj = cand.shape
     flat = cand.reshape(b, ni * nj)
@@ -362,10 +363,22 @@ def _compact_pairs(cand, k_max: int):
 # ---------------------------------------------------------------------------
 
 
-def _nn_resident_kernel(cnt_ref, pairs_ref, *rest, tm, tn, nj,
-                        tie_orig=False):
-    """One direction, both clouds VMEM-resident: fori_loop over exactly
-    count[b] candidate pairs (scalar-prefetched), no per-step DMA.
+def _nn_resident_kernel(nit_ref, pairs_ref, *rest, tm, tn, nj,
+                        tie_orig=False, unroll=1):
+    """One direction, both clouds VMEM-resident: fori_loop over the
+    candidate pairs (scalar-prefetched iteration counts), no per-step DMA.
+
+    UNROLL: Mosaic's fori_loop costs ~150-250 ns/iteration in loop
+    machinery (bound check, carry, branch) — comparable to the distance
+    tile itself at fine tile sizes.  `fori_loop(..., unroll=)` needs
+    static bounds, so the loop instead runs ceil(count/unroll) iterations
+    of an unroll-entry body.  Entries past count alias pair (0, 0) (see
+    _compact_pairs) — revisiting a real tile pair is IDEMPOTENT for the
+    min/arg-min fold (non-candidate tiles hold only strictly-worse
+    points, so even exact-tie results cannot change), hence no per-entry
+    guard is needed and results stay bitwise equal to the dense scan.
+    Measured (bench/probe_r3_unroll.py, B=32 N=16k dir1):
+    tm=256 u=1: 10.7 ms; tm=128 u=4: 8.9; tm=64 u=4: 8.2.
 
     One-direction on purpose: the fused kernel's [tM, nJ] direction-2
     accumulator merge costs more VMEM read/write traffic per step than the
@@ -395,40 +408,40 @@ def _nn_resident_kernel(cnt_ref, pairs_ref, *rest, tm, tn, nj,
     else:
         acci[:] = jnp.zeros_like(acci)
 
-    def body(k, _):
+    def visit(k):
         v = pairs_ref[bi, k]
         i = v // nj
         j = v - i * nj  # noqa: E741
         prev_d = accd[pl.ds(i, 1), :]
         prev_i = acci[pl.ds(i, 1), :]
+        p = pt3_ref[0, i]  # [8, tN]
+        q = qs3_ref[0, j]  # [tM, 8]
+        d = jnp.zeros((tm, tn), jnp.float32)
+        for c in range(3):
+            diff = q[:, c : c + 1] - p[c : c + 1, :]
+            d = d + diff * diff
+        m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
+        if tie_orig:
+            qid = q[:, 3:4]  # [tM, 1] f32 original ids
+            a = jnp.min(jnp.where(d == m, qid, float(_IDX_SENTINEL)),
+                        axis=0, keepdims=True)
+            better = jnp.logical_or(
+                m < prev_d, jnp.logical_and(m == prev_d, a < prev_i)
+            )
+        else:
+            ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
+                        keepdims=True) + j * tm
+            better = m < prev_d
+        accd[pl.ds(i, 1), :] = jnp.where(better, m, prev_d)
+        acci[pl.ds(i, 1), :] = jnp.where(better, a, prev_i)
 
-        def visit():
-            p = pt3_ref[0, i]  # [8, tN]
-            q = qs3_ref[0, j]  # [tM, 8]
-            d = jnp.zeros((tm, tn), jnp.float32)
-            for c in range(3):
-                diff = q[:, c : c + 1] - p[c : c + 1, :]
-                d = d + diff * diff
-            m = jnp.min(d, axis=0, keepdims=True)  # [1, tN]
-            if tie_orig:
-                qid = q[:, 3:4]  # [tM, 1] f32 original ids
-                a = jnp.min(jnp.where(d == m, qid, float(_IDX_SENTINEL)),
-                            axis=0, keepdims=True)
-                better = jnp.logical_or(
-                    m < prev_d, jnp.logical_and(m == prev_d, a < prev_i)
-                )
-            else:
-                ii = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-                a = jnp.min(jnp.where(d == m, ii, _IDX_SENTINEL), axis=0,
-                            keepdims=True) + j * tm
-                better = m < prev_d
-            accd[pl.ds(i, 1), :] = jnp.where(better, m, prev_d)
-            acci[pl.ds(i, 1), :] = jnp.where(better, a, prev_i)
-
-        visit()
+    def body(t, _):
+        for u in range(unroll):
+            visit(t * unroll + u)
         return 0
 
-    jax.lax.fori_loop(0, cnt_ref[bi], body, 0)
+    jax.lax.fori_loop(0, nit_ref[bi], body, 0)
     out_d_ref[0] = accd[:]
     if tie_orig:
         out_i_ref[0] = acci[:].astype(jnp.int32)
@@ -436,16 +449,20 @@ def _nn_resident_kernel(cnt_ref, pairs_ref, *rest, tm, tn, nj,
         out_i_ref[0] = acci[:]
 
 
-def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False):
+def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False, unroll=4):
     """One-direction resident pass: NN of each pp point among qp points.
 
     Returns (d [B, n_pad], idx [B, n_pad]) — bitwise equal to the dense
     scan restricted to the worklist pairs (i-major order preserves the
-    across-tile tie-break).
+    across-tile tie-break; unrolled-tail revisits of pair (0, 0) are
+    idempotent, see the kernel docstring).
     """
     b, n_pad, _ = pp.shape
     m_pad = qp.shape[1]
     ni, nj = n_pad // tn, m_pad // tm
+    if pairs.shape[1] % unroll:
+        pairs = jnp.pad(pairs, ((0, 0), (0, unroll - pairs.shape[1] % unroll)))
+    n_iter = (count + unroll - 1) // unroll
 
     # [B, nI, 8, tN] / [B, nJ, tM, 8] so tiles are leading-indexable in VMEM
     pt3 = jnp.transpose(
@@ -477,7 +494,7 @@ def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False):
     )
     out_d, out_i = pl.pallas_call(
         functools.partial(_nn_resident_kernel, tm=tm, tn=tn, nj=nj,
-                          tie_orig=tie_orig),
+                          tie_orig=tie_orig, unroll=unroll),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, ni, tn), jnp.float32),
@@ -492,7 +509,7 @@ def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False):
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(count, pairs, pt3, qs3)
+    )(n_iter.astype(jnp.int32), pairs, pt3, qs3)
     return out_d.reshape(b, n_pad), out_i.reshape(b, n_pad)
 
 
@@ -501,7 +518,7 @@ def _run_resident(pairs, count, pp, qp, tn, tm, tie_orig=False):
 # ---------------------------------------------------------------------------
 
 
-def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 256,
+def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 64,
                          ft: int = 64, tb: int = 512):
     """Core of :func:`nndistance_sorted` on clouds ALREADY Morton-sorted.
 
@@ -572,7 +589,7 @@ def _unpermute_rows(perm, d, i, n):
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
-def nndistance_indexed(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
+def nndistance_indexed(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
                        tb: int = 512):
     """Bidirectional NN in ORIGINAL order with reference tie-breaks,
     served by the Morton-pruned resident kernel.
@@ -638,7 +655,7 @@ def nndistance_indexed(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
-def nndistance_indexed_masked(p, q, tn: int = 512, tm: int = 256,
+def nndistance_indexed_masked(p, q, tn: int = 512, tm: int = 64,
                               ft: int = 64, tb: int = 512):
     """As :func:`nndistance_indexed` for POISONED clouds
     (core.masking.poison_points applied by the wrapper).
@@ -719,7 +736,7 @@ def nndistance_indexed_masked(p, q, tn: int = 512, tm: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
-def worklist_stats(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
+def worklist_stats(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
                    tb: int = 512):
     """Telemetry twin of :func:`nndistance_indexed`'s dispatch arithmetic.
 
@@ -754,7 +771,7 @@ def worklist_stats(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
-def nndistance_sorted(p, q, tn: int = 512, tm: int = 256, ft: int = 64,
+def nndistance_sorted(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
                       tb: int = 512):
     """Bidirectional NN distances in Morton-sorted space.
 
