@@ -33,8 +33,8 @@ dub1, dub2 = band2(pp, qp)
 print("2x band_min(256,s2) ms:", measure(band2, pp, qp) * 1e3)
 
 cand2 = jax.jit(lambda ps, qs, d1, d2: (
-    nn_sorted._cand_mask(ps, qs, d1, 64, 512, 256),
-    nn_sorted._cand_mask(qs, ps, d2, 64, 512, 256)))
+    nn_sorted._cand_mask(ps, qs, d1, 64, 512, 64),
+    nn_sorted._cand_mask(qs, ps, d2, 64, 512, 64)))
 c1, c2 = cand2(pp, qp, dub1, dub2)
 print("2x cand_mask ms:", measure(cand2, pp, qp, dub1, dub2) * 1e3)
 
@@ -46,7 +46,7 @@ comp2 = jax.jit(lambda c1, c2: (nn_sorted._compact_pairs(c1, k_max),
 print("2x compact ms:", measure(comp2, c1, c2) * 1e3)
 
 res = jax.jit(lambda pr, ct, a, b: nn_sorted._run_resident(
-    pr, ct, a, b, 512, 256, tie_orig=True))
+    pr, ct, a, b, 512, 64, tie_orig=True))
 print("resident dir1 ms:", measure(res, pr1, ct1, pp, qp) * 1e3)
 print("resident dir2 ms:", measure(res, pr2, ct2, qp, pp) * 1e3)
 d1s, i1s = res(pr1, ct1, pp, qp)

@@ -5,8 +5,10 @@ VPU peak, so further speedup must come from *not scanning* tile pairs that
 provably cannot contain a nearest neighbor.  Round-1's AABB bounds failed
 on uniform clouds (94-100%% of pairs remained candidates — see
 bench/probe_r2_chamfer.py); this module replaces them with a sound
-per-point bound pipeline that measures ~36%%/direction at 512x256 tiles
-(31.6 ms vs 60.8 ms dense at B=32, N=M=16k on v5e, bitwise identical):
+per-point bound pipeline.  At the default 512x64 tiles ~23%% of pairs
+per direction survive, and the 4x-unrolled resident kernel amortizes the
+per-pair loop overhead that used to make fine tiles lose: ~21 ms vs
+60.8 ms dense at B=32, N=M=16k on v5e, bitwise identical:
 
   1. sort both clouds along a Morton curve (one variadic lax.sort each —
      7x cheaper than argsort+gather);
@@ -311,33 +313,43 @@ def band_min_dynamic(ps, qs, centers, tb: int = 512):
 # ---------------------------------------------------------------------------
 
 
-def _cand_mask_lb(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
-    """(mask [B, nI, nJ] bool, lbmin [B, nI, nJ] f32): q-kernel-tile J
-    needed by some point of p-tile I, plus the tile-pair lower bound
-    (min over points and fine sub-tiles) used for best-first visiting
-    and in-kernel early exit.
+def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
+    """[B, nI, nJ] bool: q-kernel-tile J needed by some point of p-tile I.
 
-    lb is computed against fine ft-point q-sub-tiles for tightness, then
-    OR-folded to kernel tiles.  The (1 - 1e-5) factor absorbs f32 rounding
-    of lb so the bound stays sound.
+    lb is the exact AABB lower bound against fine ft-point q-sub-tiles,
+    OR-folded to kernel tiles.  The (1 - 1e-5) factor absorbs f32
+    rounding of lb so the bound stays sound.
+
+    Layout: channel-SPLIT with the q-subtile axis trailing — the obvious
+    [..., 3] trailing-channel form uses 3 of 128 lanes and measured 2.7x
+    slower (1.64 vs 0.61 ms/direction at B=32 N=16k,
+    bench/probe_r3_candmask.py); identical masks.
+
+    A (mask, per-pair lbmin) variant once fed a best-first / early-exit
+    resident kernel; that kernel measured SLOWER than the plain worklist
+    (guard cost > skipped tiles — see _nn_resident_kernel) and the lbmin
+    output was dropped with it.
     """
     ps = ps[..., :3]
     qs = qs[..., :3]
     b, n, _ = ps.shape
     m = qs.shape[1]
     ni, nj, fpk = n // ktn, m // ktm, ktm // ft
-    qt = qs.reshape(b, nj * fpk, ft, 3)
-    qlo = jnp.min(qt, axis=2).reshape(b, 1, 1, nj, fpk, 3)
-    qhi = jnp.max(qt, axis=2).reshape(b, 1, 1, nj, fpk, 3)
-    pr = ps.reshape(b, ni, ktn, 1, 1, 3)
-    gap = jnp.maximum(jnp.maximum(qlo - pr, pr - qhi), 0.0)
-    lb = jnp.sum(gap * gap, axis=-1)  # [B, nI, ktn, nJ, fpk]
-    ok = lb * (1.0 - 1e-5) <= d_ub.reshape(b, ni, ktn, 1, 1)
-    return jnp.any(ok, axis=(2, 4)), jnp.min(lb, axis=(2, 4)) * (1.0 - 1e-5)
-
-
-def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
-    return _cand_mask_lb(ps, qs, d_ub, ft, ktn, ktm)[0]
+    njf = nj * fpk
+    qt = qs.reshape(b, njf, ft, 3)
+    qlo = jnp.min(qt, axis=2)  # [B, nJf, 3]
+    qhi = jnp.max(qt, axis=2)
+    pr = ps.reshape(b, ni, ktn, 3)
+    lb = jnp.zeros((b, ni, ktn, njf), jnp.float32)
+    for c in range(3):
+        lo = qlo[..., c][:, None, None, :]
+        hi = qhi[..., c][:, None, None, :]
+        pc = pr[..., c][..., None]
+        gap = jnp.maximum(jnp.maximum(lo - pc, pc - hi), 0.0)
+        lb = lb + gap * gap
+    ok = lb * (1.0 - 1e-5) <= d_ub.reshape(b, ni, ktn, 1)
+    okf = jnp.any(ok, axis=2).reshape(b, ni, nj, fpk)
+    return jnp.any(okf, axis=3)
 
 
 def _compact_pairs(cand, k_max: int):
@@ -532,8 +544,8 @@ def nndistance_presorted(ps, qs, tn: int = 512, tm: int = 64,
     pp = _pad_points_poison(ps, n_pad)
     qp = _pad_points_poison_neg(qs, m_pad)
 
-    d_ub1 = band_min(pp, qp, tb=tb)  # [B, N'] upper bounds
-    d_ub2 = band_min(qp, pp, tb=tb)  # [B, M']
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=128, stride=4)  # [B, N']
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=128, stride=4)  # [B, M']
 
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)  # [B, nI, nJ]
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)  # swapped roles
@@ -621,10 +633,12 @@ def nndistance_indexed(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
     pp = _pad_points_poison(ps4, n_pad)
     qp = _pad_points_poison_neg(qs4, m_pad)
 
-    # Narrow strided band window: half the band cost for +1.6% candidates
-    # (bench/probe_r3_band.py; bound stays sound for any point subset).
-    d_ub1 = band_min(pp, qp, tb=tb, tbq=256, stride=2)
-    d_ub2 = band_min(qp, pp, tb=tb, tbq=256, stride=2)
+    # Narrow strided band window (tbq=128, stride=4): same 1536-rank span
+    # as 3x256 unstrided at 1/4 the scan — band 1.57 -> 0.79 ms/dir for
+    # +6% candidates (bench/probe_r3_band2.py; the window minimum is a
+    # sound upper bound for any scanned point subset).
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=128, stride=4)
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=128, stride=4)
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
 
@@ -753,8 +767,8 @@ def worklist_stats(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
     align = max(tn, tm, tb)
     pp = _pad_points_poison(ps, _round_up(n, align))
     qp = _pad_points_poison_neg(qs, _round_up(m, align))
-    d_ub1 = band_min(pp, qp, tb=tb, tbq=256, stride=2)
-    d_ub2 = band_min(qp, pp, tb=tb, tbq=256, stride=2)
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=128, stride=4)
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=128, stride=4)
     cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
     cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
     ni, nj = cand1.shape[1], cand1.shape[2]
