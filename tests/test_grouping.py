@@ -156,22 +156,6 @@ def test_sample_and_group_knn_mode(rng):
     np.testing.assert_array_equal(np.asarray(idx), oidx)
 
 
-def test_ball_query_sorted_bitwise_vs_dense(rng):
-    """Chunk-pruned resident ball query == dense grid kernel on the same
-    Morton-sorted inputs, bitwise (kernels/bq_sorted.py)."""
-    from pytorch_points_tpu.kernels import ballquery, bq_sorted, nn_sorted
-
-    sup = jnp.asarray(rng.uniform(-1, 1, (2, 1024, 3)), jnp.float32)
-    q = jnp.asarray(rng.uniform(-1, 1, (2, 256, 3)), jnp.float32)
-    sups, _ = nn_sorted.sort_by_morton(sup)
-    qs, _ = nn_sorted.sort_by_morton(q)
-    r1 = bq_sorted.ball_query_sorted(sups, qs, 0.2, 16, tp=128, tm=64,
-                                     with_coords=True)
-    r0 = ballquery.ball_query_and_group_coords(sups, qs, 0.2, 16)
-    for a, b in zip(r1, r0):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 def test_sample_and_group_sorted_same_sets(rng):
     """sample_and_group_sorted returns the same neighborhood sets as the
     reference-ordered path, up to centroid order and within-group order
