@@ -25,6 +25,9 @@ from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
     ball_query_sharded,
     chamfer_sharded,
     furthest_point_sample_sharded,
+    group_points_sharded,
+    three_interpolate_sharded,
+    three_nn_sharded,
     nndistance_ring,
     nndistance_sharded,
 )

@@ -284,3 +284,67 @@ def nndistance_ring(p, q, mesh, *, points_axis: str = "points"):
         ),
         check_vma=False,
     )(p, q)
+
+
+def group_points_sharded(features, idx, mesh, *,
+                         points_axis: str = "points"):
+    """Neighborhood gather with the QUERY set sharded over the points
+    axis: features replicated, idx [B, P, S] sharded over P, output
+    [B, P, S, C] sharded over P.  The forward needs zero communication;
+    under differentiation each device scatter-adds into a full-size
+    features cotangent and shard_map inserts the psum that merges the
+    partials (the reference's multi-GPU story left grouping on one
+    device; SURVEY.md §3.3)."""
+    from pytorch_points_tpu.ops.grouping import group_points
+
+    def impl(f_full, idx_shard):
+        return group_points(f_full, idx_shard)
+
+    return jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(P(), P(None, points_axis, None)),
+        out_specs=P(None, points_axis, None, None),
+        check_vma=False,
+    )(features, idx)
+
+
+def three_nn_sharded(unknown, known, mesh, *, points_axis: str = "points"):
+    """FP-layer three_nn with the UNKNOWN (dense) cloud sharded over the
+    points axis and the known cloud replicated — embarrassingly parallel,
+    zero communication.  Returns (dist [B, N, 3], idx [B, N, 3]) sharded
+    over N."""
+    from pytorch_points_tpu.ops.interpolate import three_nn
+
+    def impl(u_shard, k_full):
+        return three_nn(u_shard, k_full)
+
+    return jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(P(None, points_axis, None), P()),
+        out_specs=(P(None, points_axis, None), P(None, points_axis, None)),
+        check_vma=False,
+    )(unknown, known)
+
+
+def three_interpolate_sharded(features, idx, weight, mesh, *,
+                              points_axis: str = "points"):
+    """FP-layer feature interpolation with target rows sharded over the
+    points axis (features [B, M, C] replicated; idx/weight [B, N, 3]
+    sharded over N).  Forward is communication-free; the backward's
+    per-device scatter-add partials merge via the shard_map-inserted
+    psum, exactly as in :func:`group_points_sharded`."""
+    from pytorch_points_tpu.ops.interpolate import three_interpolate
+
+    def impl(f_full, idx_shard, w_shard):
+        return three_interpolate(f_full, idx_shard, w_shard)
+
+    return jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(P(), P(None, points_axis, None),
+                  P(None, points_axis, None)),
+        out_specs=P(None, points_axis, None),
+        check_vma=False,
+    )(features, idx, weight)

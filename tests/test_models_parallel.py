@@ -303,3 +303,65 @@ def test_ball_query_sharded_matches(rng):
     wi, wc = ball_query(xyz, cen, 0.8, 8)
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+
+
+def test_group_points_sharded_values_and_grads(rng):
+    """Query-sharded grouping == replicated grouping, including the
+    features gradient (per-device scatter partials must psum)."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops.grouping import group_points
+
+    feats = rng.standard_normal((2, 64, 5)).astype(np.float32)
+    idx = rng.integers(0, 64, (2, 16, 4)).astype(np.int32)
+    mesh = parallel.make_mesh({"points": 8})
+
+    got = parallel.group_points_sharded(jnp.asarray(feats), jnp.asarray(idx),
+                                        mesh)
+    want = group_points(feats, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0)
+
+    g_sharded = jax.grad(
+        lambda f: jnp.sum(parallel.group_points_sharded(f, jnp.asarray(idx),
+                                                        mesh) ** 2)
+    )(jnp.asarray(feats))
+    g_ref = jax.grad(lambda f: jnp.sum(group_points(f, idx) ** 2))(
+        jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_three_nn_interpolate_sharded_matches(rng):
+    """FP ops with the dense cloud sharded: values + feature grads equal
+    the replicated path."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops.interpolate import (
+        three_interpolate, three_nn, interpolation_weights)
+
+    unknown = rng.standard_normal((2, 32, 3)).astype(np.float32)
+    known = rng.standard_normal((2, 12, 3)).astype(np.float32)
+    feats = rng.standard_normal((2, 12, 6)).astype(np.float32)
+    mesh = parallel.make_mesh({"points": 8})
+
+    d_s, i_s = parallel.three_nn_sharded(jnp.asarray(unknown),
+                                         jnp.asarray(known), mesh)
+    d_r, i_r = three_nn(unknown, known)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+    w = interpolation_weights(d_r)
+    out_s = parallel.three_interpolate_sharded(
+        jnp.asarray(feats), i_r, w, mesh
+    )
+    out_r = three_interpolate(feats, i_r, w)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+    g_s = jax.grad(lambda f: jnp.sum(
+        parallel.three_interpolate_sharded(f, i_r, w, mesh) ** 2
+    ))(jnp.asarray(feats))
+    g_r = jax.grad(lambda f: jnp.sum(three_interpolate(f, i_r, w) ** 2))(
+        jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                               rtol=1e-6, atol=1e-6)
