@@ -12,11 +12,11 @@ x = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
 cen = gather_points(x, fpsk.furthest_point_sample(x, P))
 
 ref = None
-for tm in (96, 80, 64, 48, 32):
+for tm in (None,):
     f = jax.jit(lambda x, c, tm=tm: bqk.ball_query(x, c, 0.2, NS, tm=tm))
     idx, cnt = f(x, cen)
     if ref is None:
         ref = (idx, cnt)
     ok = bool(jnp.all(idx == ref[0])) and bool(jnp.all(cnt == ref[1]))
     t = measure(f, x, cen, iters=8) * 1e3
-    print(f"tm={tm:4d}: ball_query ms={t:.2f} match={ok}", flush=True)
+    print(f"tm={tm}: ball_query ms={t:.2f} match={ok}", flush=True)

@@ -141,7 +141,7 @@ def _bq_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
 
 
 def _bq_while_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
-                     r2, tm, ns, nj, with_coords):
+                     r2, tm, ns, nj, with_coords, unroll=1):
     """Resident while_loop form of _bq_kernel: grid is (B,) with the
     whole support and all slot tables VMEM-resident, and the support
     chunk loop STOPS at the first chunk where every query is full.
@@ -151,6 +151,23 @@ def _bq_while_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
     that's ~4.5 ms of pure skip overhead); here unvisited chunks cost
     nothing.  Bitwise-identical outputs (same scan order and slot
     arithmetic).
+
+    ``unroll`` processes that many consecutive chunks per while
+    iteration (the wrapper pads the support with hit-free poison chunks
+    so the over-read tail is a no-op; exit may overshoot by up to
+    unroll-1 chunks, which is harmless — extra chunks cannot change a
+    full table).  NEGATIVE RESULT: interleaved A/B at B=32 P=2048
+    N=16k measures u1=10.5 / u2=11.0 / u4=10.7 ms — the per-chunk cost
+    is the serial scalar max_h read feeding the dynamic hit-extraction
+    loop, which unrolling does not break; default stays 1.
+
+    NEGATIVE RESULT (round 3, measured): a TWO-PHASE straggler split —
+    stop the full-width scan once <= P/4 queries are unfull (chunk ~115
+    of 171), finish them on a 4x narrower tile — is exact but gains
+    <1 ms net: the narrow phase is chunk-latency-bound, not width-bound
+    (full scans: 10.1 ms at tp=2048, 4.7 at 512, 3.8 at 128), and
+    repack/merge costs ~1 ms even in row-gather form.  Not worth 3x the
+    kernel instances; do not rebuild without new data.
     """
     if with_coords:
         (out_gx_ref, out_gy_ref, out_gz_ref,
@@ -177,8 +194,7 @@ def _bq_while_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
         j, done = st
         return jnp.logical_and(j < nj, done == 0)
 
-    def w_body(st):
-        j, _ = st
+    def chunk_body(j):
         sup = sup_ref[0, j]  # [tM, 8]
         d2 = jnp.zeros((tm, tp), jnp.float32)
         for c in range(3):
@@ -217,8 +233,13 @@ def _bq_while_kernel(qry_ref, sup_ref, out_idx_ref, out_cnt_ref, *refs,
 
         jax.lax.fori_loop(0, max_h, h_body, 0)
         cnt_s[:] = cnt_s[:] + cs[tm - 1 : tm, :]
+
+    def w_body(st):
+        j, _ = st
+        for u in range(unroll):
+            chunk_body(j + u)
         done = (jnp.min(cnt_s[:]) >= ns).astype(jnp.int32)
-        return j + 1, done
+        return j + unroll, done
 
     jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), jnp.int32(0)))
     out_idx_ref[0] = idx_s[:]
@@ -355,7 +376,7 @@ _RESIDENT_MAX_P = 4096
 
 
 def _ball_query_impl_resident(xyz, centroids, radius, nsample, mask, tm,
-                              with_coords):
+                              with_coords, unroll: int = 1):
     from pytorch_points_tpu.core.masking import poison_points
 
     b, n, _ = xyz.shape
@@ -371,6 +392,13 @@ def _ball_query_impl_resident(xyz, centroids, radius, nsample, mask, tm,
     qry = jnp.pad(centroids, ((0, 0), (0, p_pad - p), (0, 0)), mode="edge")
     qry_t = jnp.transpose(jnp.pad(qry, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
     sup_s = jnp.pad(sup, ((0, 0), (0, 0), (0, 5))).reshape(b, nj, tm, 8)
+    if nj % unroll:
+        # hit-free poison tail chunks make the unrolled over-read a no-op
+        extra = unroll - nj % unroll
+        tail = jnp.zeros((b, extra, tm, 8), sup_s.dtype)
+        tail = tail.at[..., 0].set(BIG_COORD * 4.0)
+        sup_s = jnp.concatenate([sup_s, tail], axis=1)
+        nj += extra
 
     out_specs = [
         pl.BlockSpec((1, ns_pad, p_pad), lambda bi: (bi, 0, 0),
@@ -399,7 +427,7 @@ def _ball_query_impl_resident(xyz, centroids, radius, nsample, mask, tm,
     outs = pl.pallas_call(
         functools.partial(
             _bq_while_kernel, r2=float(radius) ** 2, tm=tm, ns=ns_pad,
-            nj=nj, with_coords=with_coords,
+            nj=nj, with_coords=with_coords, unroll=unroll,
         ),
         grid=(b,),
         in_specs=[
