@@ -7,10 +7,13 @@ scatters gradients through the saved argmin pairs only (the argmin itself
 is treated as locally constant, exactly like the reference CUDA
 ``NmDistanceGradKernel``).
 
-TPU-native design: the O(N*M) scan is an MXU matmul-form distance tile plus
-a VPU running argmin (Pallas kernel in kernels/distance_tiles.py); the
-backward is a deterministic XLA scatter-add (no atomics — bitwise
-reproducible, an improvement over the reference).
+TPU-native design: the O(N*M) scan is a VPU broadcast diff^2 distance
+tile with a streaming argmin (kernels/distance_tiles.py; exact f32 —
+matmul-form distances were rejected: Mosaic's f32 dot is bf16x3 with
+~2^-16 relative error), pruned ~3x at N>=8192 by the Morton-sorted
+bound-pipeline (kernels/nn_sorted.py); the backward is a deterministic
+MXU one-hot scatter-add (no atomics — bitwise reproducible, an
+improvement over the reference).
 """
 
 from __future__ import annotations
@@ -215,11 +218,10 @@ def chamfer_distance(
     sums the two directions — matching the reference ChamferLoss
     (SURVEY.md §3.2 P2).
 
-    At large N without masks this dispatches to the Morton-sorted
-    bound-pruned kernel (kernels/nn_sorted.py): the reduction is
-    permutation-invariant, so sorted-space distances feed it directly.
-    With ``reduction="none"`` the per-point outputs must stay in input
-    order, so that case keeps the dense path.
+    At large N this dispatches (masked or not) to the Morton-pruned
+    indexed kernel (kernels/nn_sorted.py), whose outputs are already in
+    input order — every reduction, including ``"none"``, rides the fast
+    path.
     """
     p = jnp.asarray(p)
     q = jnp.asarray(q)
