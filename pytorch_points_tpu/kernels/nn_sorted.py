@@ -355,18 +355,27 @@ def _cand_mask(ps, qs, d_ub, ft: int, ktn: int, ktm: int):
 def _compact_pairs(cand, k_max: int):
     """[B, nI, nJ] bool -> (pairs [B, k_max] i32 packed i*nJ+j, count [B]).
 
-    Stable argsort keeps candidate pairs in flat i-major order, so the
-    kernel visits q-tiles in ascending order per p-tile — reproducing the
-    dense scan's across-tile tie-break exactly.  Padding entries beyond
-    count alias pair (0, 0); the unrolled kernel may revisit up to
-    unroll-1 of them per batch row (idempotent — see _nn_resident_kernel).
+    The ascending packed-key sort keeps candidate pairs in flat i-major
+    order, so the kernel visits q-tiles in ascending order per p-tile —
+    reproducing the dense scan's across-tile tie-break exactly
+    (pinned by test_compact_pairs_packed_key_order).  Padding entries
+    beyond count alias pair (0, 0); the unrolled kernel may revisit up
+    to unroll-1 of them per batch row (idempotent — see
+    _nn_resident_kernel).
     """
     b, ni, nj = cand.shape
-    flat = cand.reshape(b, ni * nj)
-    order = jnp.argsort(~flat, axis=1, stable=True)[:, :k_max]
+    k = ni * nj
+    flat = cand.reshape(b, k)
+    # Single packed key instead of argsort's (key, iota) pair: candidates
+    # get key = idx, non-candidates key = K + idx, so one ascending sort
+    # yields candidate flat-indices first, each recovered with one mod —
+    # half the sorted payload of argsort.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    key = jnp.where(flat, iota, iota + k)
+    order = jax.lax.sort(key, dimension=1)[:, :k_max] % k
     count = jnp.sum(flat, axis=1).astype(jnp.int32)
     real = jnp.arange(k_max)[None, :] < count[:, None]
-    pairs = jnp.where(real, order.astype(jnp.int32), 0)
+    pairs = jnp.where(real, order, 0)
     return pairs, count
 
 

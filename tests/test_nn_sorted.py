@@ -293,3 +293,20 @@ def test_chamfer_path_markers(rng):
         assert chamfer_path(big_p, big_p) == "xla"
     finally:
         dispatch.force_impl("pallas")
+
+
+def test_compact_pairs_packed_key_order(rng):
+    """The packed-key compaction keeps candidates in exact flat i-major
+    order with zero padding beyond count (the kernel's tie-break and the
+    unrolled idempotent-padding contract both depend on this)."""
+    import numpy as np
+
+    from pytorch_points_tpu.kernels.nn_sorted import _compact_pairs
+
+    cand = rng.random((3, 4, 8)) < 0.3
+    pairs, count = map(np.asarray, _compact_pairs(jnp.asarray(cand), 20))
+    for b in range(3):
+        want = np.flatnonzero(cand[b].reshape(-1))
+        assert count[b] == len(want)
+        np.testing.assert_array_equal(pairs[b, : count[b]], want)
+        assert (pairs[b, count[b]:] == 0).all()
