@@ -24,6 +24,7 @@ from pytorch_points_tpu.parallel.data_parallel import (  # noqa: F401
 from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
     ball_query_sharded,
     chamfer_sharded,
+    earth_mover_distance_sharded,
     furthest_point_sample_sharded,
     group_points_sharded,
     three_interpolate_sharded,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from pytorch_points_tpu.ops.chamfer import _nn_one_direction_xla
+from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
 
 
 def _nn_direction_local(p_full, q_shard, axis: str):
@@ -326,6 +327,244 @@ def three_nn_sharded(unknown, known, mesh, *, points_axis: str = "points"):
         out_specs=(P(None, points_axis, None), P(None, points_axis, None)),
         check_vma=False,
     )(unknown, known)
+
+
+def _auction_sharded_body(p_full, q_shard, eps, max_iters, axis: str):
+    """One device's view of a Jacobi auction with OBJECTS (q) sharded.
+
+    Person state (assign) is replicated and advanced identically on every
+    device; object state (price, owner) lives with the object shard.  Per
+    iteration the only communication is an all_gather of each shard's
+    top-2 candidate values/indices/price ([ndev, B, N]-sized planes) plus
+    two psum-OR folds of the per-person win/evict masks — O(ndev*B*N)
+    bytes, independent of the O(B*N*M) scan work, which each device does
+    only against its own object shard.
+
+    Assignment-identical to ops.emd._auction_xla (the replicated
+    correctness path): the cross-shard top-2 merge reproduces top_k's
+    value-then-lowest-index ordering exactly (a value tie's lowest global
+    index always appears in some shard's slot 0, because within a shard
+    top_k already orders tied indices ascending), and the greedy
+    completion picks the same (max benefit, min index) free object.
+    Pinned by tests/test_parallel.py::test_emd_sharded_matches_replicated.
+    """
+    ndev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, n, _ = p_full.shape
+    m_loc = q_shard.shape[1]
+    neg = jnp.float32(-1e30)
+    person_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    barange = jnp.arange(b)[:, None]
+    big = jnp.int32(2**30)
+
+    def cond(state):
+        it, assign, _, _ = state
+        return jnp.logical_and(it < max_iters, jnp.any(assign < 0))
+
+    def body(state):
+        it, assign, owner_loc, price_loc = state
+        # Local top-2 over this device's object shard (same elementwise
+        # arithmetic as the replicated scan restricted to the shard).
+        net = -pairwise_sqdist(p_full, q_shard) - price_loc[:, None, :]
+        t2v, t2i = jax.lax.top_k(net, 2)  # [B, N, 2]
+        g2 = t2i.astype(jnp.int32) + me * m_loc  # global object ids
+        p_best = jnp.take_along_axis(
+            price_loc, t2i[..., 0].astype(jnp.int32), axis=1
+        )  # price of the local best object, [B, N]
+        av = jax.lax.all_gather(t2v, axis)  # [ndev, B, N, 2]
+        ag = jax.lax.all_gather(g2, axis)
+        ap = jax.lax.all_gather(p_best, axis)  # [ndev, B, N]
+        cv = jnp.moveaxis(av, 0, 2).reshape(b, n, 2 * ndev)
+        cg = jnp.moveaxis(ag, 0, 2).reshape(b, n, 2 * ndev)
+        # Global best: max value, ties -> lowest global object index.
+        v1 = jnp.max(cv, axis=-1)
+        g1 = jnp.min(
+            jnp.where(cv == v1[..., None], cg, big), axis=-1
+        ).astype(jnp.int32)
+        # Second best excludes exactly the winner entry (object ids are
+        # unique across shards).
+        v2 = jnp.max(jnp.where(cg == g1[..., None], neg, cv), axis=-1)
+        # Winner's pre-update price: it is some shard's slot-0 candidate.
+        win0 = jnp.logical_and(av[..., 0] == v1[None], ag[..., 0] == g1[None])
+        price1 = jnp.sum(jnp.where(win0, ap, 0.0), axis=0)
+        bid = price1 + (v1 - v2) + eps
+        bidding = assign < 0
+        bid = jnp.where(bidding, bid, neg)
+        # Per-object phase on the local shard only.
+        tloc = g1 - me * m_loc
+        in_shard = jnp.logical_and(tloc >= 0, tloc < m_loc)
+        slot = jnp.where(jnp.logical_and(in_shard, bidding), tloc, m_loc)
+        best_loc = jnp.full((b, m_loc), neg).at[barange, slot].max(
+            bid, mode="drop"
+        )
+        my_best = jnp.take_along_axis(
+            best_loc, jnp.clip(tloc, 0, m_loc - 1), axis=1
+        )
+        is_win = bidding & in_shard & (bid >= my_best)
+        wslot = jnp.where(is_win, tloc, m_loc)
+        winner_loc = (
+            jnp.full((b, m_loc), n, dtype=jnp.int32)
+            .at[barange, wslot]
+            .min(person_ids, mode="drop")
+        )
+        has_bid = winner_loc < n
+        winner_c = jnp.minimum(winner_loc, n - 1)
+        price_loc = jnp.where(has_bid, best_loc, price_loc)
+        prev_owner = jnp.where(has_bid, owner_loc, -1)
+        # Per-person masks (local partials -> psum-OR across shards).
+        evict_slot = jnp.where(prev_owner >= 0, prev_owner, n)
+        evict = (
+            jnp.zeros((b, n), jnp.int32)
+            .at[barange, evict_slot]
+            .max(1, mode="drop")
+        )
+        won_here = is_win & (
+            jnp.take_along_axis(winner_loc, jnp.clip(tloc, 0, m_loc - 1),
+                                axis=1)
+            == person_ids
+        )
+        evict = jax.lax.psum(evict, axis) > 0
+        won = jax.lax.psum(won_here.astype(jnp.int32), axis) > 0
+        assign = jnp.where(evict, -1, assign)
+        assign = jnp.where(won, g1, assign)
+        owner_loc = jnp.where(has_bid, winner_c, owner_loc)
+        return it + 1, assign, owner_loc, price_loc
+
+    init = (
+        jnp.int32(0),
+        jnp.full((b, n), -1, jnp.int32),
+        jnp.full((b, m_loc), -1, jnp.int32),
+        jnp.zeros((b, m_loc), jnp.float32),
+    )
+    _, assign, owner_loc, _ = jax.lax.while_loop(cond, body, init)
+
+    # Greedy completion, one assignment per step (matches _auction_xla).
+    iota_loc = jnp.arange(m_loc, dtype=jnp.int32)[None, :]
+
+    def c_cond(state):
+        _, assign, _ = state
+        return jnp.any(assign < 0)
+
+    def c_body(state):
+        it, assign, owner_loc = state
+        unassigned = assign < 0
+        pi = jnp.argmax(unassigned, axis=1).astype(jnp.int32)
+        psel = jnp.take_along_axis(p_full, pi[:, None, None], axis=1)
+        row = -jnp.sum((psel - q_shard) ** 2, axis=-1)  # [B, m_loc]
+        masked = jnp.where(owner_loc < 0, row, neg)
+        mloc = jnp.max(masked, axis=1)
+        aloc = jnp.min(
+            jnp.where(masked == mloc[:, None], iota_loc + me * m_loc, big),
+            axis=1,
+        )
+        allm = jax.lax.all_gather(mloc, axis)  # [ndev, B]
+        allg = jax.lax.all_gather(aloc, axis)
+        gm = jnp.max(allm, axis=0)
+        oj = jnp.min(jnp.where(allm == gm[None], allg, big), axis=0).astype(
+            jnp.int32
+        )
+        do = jnp.any(unassigned, axis=1)
+        p_slot = jnp.where(do, pi, n)
+        assign = assign.at[barange[:, 0], p_slot].set(oj, mode="drop")
+        ojl = oj - me * m_loc
+        o_slot = jnp.where(
+            do & (ojl >= 0) & (ojl < m_loc), ojl, m_loc
+        )
+        owner_loc = owner_loc.at[barange[:, 0], o_slot].set(pi, mode="drop")
+        return it + 1, assign, owner_loc
+
+    _, assign, _ = jax.lax.while_loop(
+        c_cond, c_body, (jnp.int32(0), assign, owner_loc)
+    )
+    return assign
+
+
+def _run_sharded_auction(p, q, eps, max_iters, mesh, points_axis):
+    return jax.shard_map(
+        lambda pf, qs: _auction_sharded_body(
+            pf, qs, jnp.float32(eps), jnp.int32(max_iters), points_axis
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(None, points_axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )(jax.lax.stop_gradient(p), jax.lax.stop_gradient(q))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _emd_sharded(p, q, eps, max_iters, mesh, points_axis):
+    assign = _run_sharded_auction(p, q, eps, max_iters, mesh, points_axis)
+    qsel = jnp.take_along_axis(q, assign[..., None], axis=1)
+    return jnp.sum((p - qsel) ** 2, axis=-1), assign
+
+
+def _emd_sharded_fwd(p, q, eps, max_iters, mesh, points_axis):
+    assign = _run_sharded_auction(p, q, eps, max_iters, mesh, points_axis)
+    qsel = jnp.take_along_axis(q, assign[..., None], axis=1)
+    dist = jnp.sum((p - qsel) ** 2, axis=-1)
+    return (dist, assign), (p, qsel, assign, q.shape[-2])
+
+
+def _emd_sharded_bwd(eps, max_iters, mesh, points_axis, res, g):
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    p, qsel, assign, m = res
+    g_dist, _ = g
+    gp = 2.0 * g_dist[..., None] * (p - qsel)
+    gq = scatter_add_auto(assign, -gp, m)
+    return gp, gq
+
+
+_emd_sharded.defvjp(_emd_sharded_fwd, _emd_sharded_bwd)
+
+
+def earth_mover_distance_sharded(p, q, mesh, eps: float = 0.005,
+                                 max_iters: int = 45, p_mask=None,
+                                 q_mask=None, *,
+                                 points_axis: str = "points"):
+    """Auction EMD with the TARGET cloud's objects sharded over the
+    points axis (SURVEY.md §3.3/§6 — the last graded op family to get a
+    multi-device decomposition).
+
+    Each device owns a q shard (its prices and ownership state) and scans
+    persons only against that shard; the per-iteration cross-device
+    traffic is a handful of [B, N] planes (candidate merge + win/evict
+    masks), never the O(N*M) distance work.  The resulting assignment is
+    exactly the replicated flat-eps Jacobi auction's
+    (ops/emd.py _auction_xla with max_iters*phases = ``max_iters``), so
+    quality follows the same eps contract.
+
+    Masked/bucketed clouds follow the :func:`ops.emd.earth_mover_distance`
+    contract: equal valid counts per batch element, rank-matched poison
+    pads that match each other at distance 0.
+
+    Args:
+      p: [B, N, 3] replicated.
+      q: [B, N, 3]; N divisible by the points-axis size.
+      eps: flat bid increment (no eps-scaling phases on this path).
+      max_iters: auction iteration budget before greedy completion.
+
+    Returns:
+      (dist [B, N], assign [B, N]) replicated; gradients flow along the
+      matched pairs only (assignment locally constant), like the
+      single-device op.
+    """
+    from pytorch_points_tpu.ops.emd import _poison_rank_matched
+
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    if p.shape != q.shape or p.ndim != 3:
+        raise ValueError(
+            f"EMD needs equal-shape [B,N,3] clouds, got {p.shape} vs {q.shape}"
+        )
+    pp = _poison_rank_matched(p, p_mask)
+    qp = _poison_rank_matched(q, q_mask)
+    dist, assign = _emd_sharded(pp, qp, float(eps), int(max_iters), mesh,
+                                points_axis)
+    if p_mask is not None:
+        dist = jnp.where(p_mask, dist, 0.0)
+        assign = jnp.where(p_mask, assign, 0)
+    return dist, assign
 
 
 def three_interpolate_sharded(features, idx, weight, mesh, *,

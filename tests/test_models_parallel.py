@@ -365,3 +365,78 @@ def test_three_nn_interpolate_sharded_matches(rng):
     )
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_emd_sharded_matches_replicated(rng):
+    """Object-sharded auction EMD == the replicated flat-eps XLA auction:
+    the same assignment (bitwise), the same distances, and matched-pair
+    gradients equal to the replicated op's."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops import earth_mover_distance
+
+    mesh = parallel.make_mesh({"points": 8})
+    p = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+
+    d_s, a_s = parallel.earth_mover_distance_sharded(
+        p, q, mesh, eps=0.01, max_iters=45
+    )
+    # Replicated correctness path: flat eps, max_iters*phases budget.
+    d_r, a_r = earth_mover_distance(
+        p, q, eps=0.01, max_iters=45, phases=1, impl="xla"
+    )
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_r))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), rtol=1e-6)
+    # Both clouds' gradients flow along the matched pairs only.
+    gp_s, gq_s = jax.grad(
+        lambda pp, qq: jnp.sum(
+            parallel.earth_mover_distance_sharded(
+                pp, qq, mesh, eps=0.01, max_iters=45
+            )[0]
+        ),
+        argnums=(0, 1),
+    )(p, q)
+    gp_r, gq_r = jax.grad(
+        lambda pp, qq: jnp.sum(
+            earth_mover_distance(
+                pp, qq, eps=0.01, max_iters=45, phases=1, impl="xla"
+            )[0]
+        ),
+        argnums=(0, 1),
+    )(p, q)
+    np.testing.assert_allclose(np.asarray(gp_s), np.asarray(gp_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_r), rtol=1e-6)
+
+
+def test_emd_sharded_masked(rng):
+    """Masked sharded EMD matches the unmasked sharded EMD on the valid
+    prefix (rank-matched pads pair with each other at distance 0) and
+    zeroes masked outputs/grads."""
+    _need_devices(8)
+    mesh = parallel.make_mesh({"points": 8})
+    n, nv = 64, 48
+    p = jnp.asarray(rng.standard_normal((2, n, 3)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, n, 3)), jnp.float32)
+    mask = jnp.arange(n)[None, :] < nv
+    mask = jnp.broadcast_to(mask, (2, n))
+
+    d_m, a_m = parallel.earth_mover_distance_sharded(
+        p, q, mesh, eps=0.01, max_iters=45, p_mask=mask, q_mask=mask
+    )
+    d_u, a_u = parallel.earth_mover_distance_sharded(
+        p[:, :nv], q[:, :nv], mesh, eps=0.01, max_iters=45
+    )
+    np.testing.assert_array_equal(np.asarray(a_m[:, :nv]), np.asarray(a_u))
+    np.testing.assert_allclose(np.asarray(d_m[:, :nv]), np.asarray(d_u),
+                               rtol=1e-6)
+    assert (np.asarray(d_m[:, nv:]) == 0).all()
+    gp = jax.grad(
+        lambda pp: jnp.sum(
+            parallel.earth_mover_distance_sharded(
+                pp, q, mesh, eps=0.01, max_iters=45, p_mask=mask,
+                q_mask=mask
+            )[0]
+        )
+    )(p)
+    assert (np.asarray(gp)[:, nv:] == 0).all()
+    assert np.isfinite(np.asarray(gp)).all()
