@@ -31,7 +31,9 @@ def main():
     from pytorch_points_tpu.kernels import ballquery as bqk
     from pytorch_points_tpu.kernels import fps as fpsk
     from pytorch_points_tpu.ops.grouping import group_points
-    from pytorch_points_tpu.ops.sampling import gather_points
+    from pytorch_points_tpu.ops.sampling import (
+        furthest_point_sample_and_gather,
+    )
     from pytorch_points_tpu.utils.benchmark import measure
 
     rng = np.random.default_rng(0)
@@ -47,8 +49,9 @@ def main():
 
     def headline(pred, gt):
         def loss(pred):
-            idx = fpsk.furthest_point_sample(pred, P)
-            cen = gather_points(pred, idx)
+            # fused FPS: the kernel emits the centroid coords, so the
+            # separate gather forward disappears (backward scatter stays).
+            cen, idx = furthest_point_sample_and_gather(pred, P)
             nidx, _ = bqk.ball_query(pred, cen, 0.2, 32)
             grouped = group_points(pred, nidx)
             centered = grouped - cen[:, :, None, :]
@@ -99,8 +102,7 @@ def main():
 
     # --- Config 3: ball_query + group on FPS centroids ------------------
     def cfg3(x):
-        idx = fpsk.furthest_point_sample(x, 2048)
-        cen = gather_points(x, idx)
+        cen, idx = furthest_point_sample_and_gather(x, 2048)
         nidx, _ = bqk.ball_query(x, cen, 0.2, 32)
         return group_points(x, nidx)
 

@@ -37,13 +37,19 @@ from pytorch_points_tpu.kernels.dispatch import interpret_mode
 _IDX_BIG = 2**30
 
 
-def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
+def _fps_kernel(xyz_ref, init_ref, out_ref, *rest, k, cs):
+    # rest = (coords_ref,) mind_ref — coords_ref present iff emit_coords.
+    coords_ref = rest[0] if len(rest) == 2 else None
+    mind_ref = rest[-1]
     mind_ref[:] = init_ref[:]
     _, b, n = xyz_ref.shape
     nchunks = n // cs
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, cs), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     out_ref[:] = jnp.zeros_like(out_ref)
+    if coords_ref is not None:
+        coords_ref[:] = jnp.zeros_like(coords_ref)
+        iota_kf = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
     def body(j, carry):
         # carry: coords of the previously selected point per batch row.
@@ -103,6 +109,17 @@ def _fps_kernel(xyz_ref, init_ref, out_ref, mind_ref, *, k, cs):
         # One-hot lane write (dynamic single-lane vector stores don't
         # lower on Mosaic; this full-plane select is cheap since k << N).
         out_ref[:] = jnp.where(iota_k == j, sel, out_ref[:])
+        if coords_ref is not None:
+            # The selected point's coordinates are already extracted for
+            # the next step's distance fold — emitting them here makes the
+            # centroid gather in sample_and_group free (three [B, k]
+            # plane selects per step, negligible next to the [B, N]
+            # passes; values are the one-hot-extracted f32 originals, so
+            # bitwise equal to gather_points(xyz, idx)).
+            sel_j = iota_kf == j
+            coords_ref[0] = jnp.where(sel_j, nx, coords_ref[0])
+            coords_ref[1] = jnp.where(sel_j, ny, coords_ref[1])
+            coords_ref[2] = jnp.where(sel_j, nz, coords_ref[2])
         return nx, ny, nz
 
     zero = jnp.zeros((b, 1), jnp.float32)  # unused at j=0 (min-fold skipped)
@@ -119,14 +136,20 @@ def _round_up(v, m):
 _MAX_PLANE_BYTES = 20 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
+@functools.partial(jax.jit, static_argnames=("k", "emit_coords"))
+def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None,
+                          emit_coords: bool = False):
     """[B, N, 3] -> [B, k] int32 FPS indices (index-identical to oracle).
 
     seed_idx ([B] int32, optional) forces the first selection per cloud:
     its init slot gets 2e10 (> the uniform 1e10), so the first argmax
     uniquely picks it — the Morton-consistent pipeline uses this to
-    reproduce the reference FPS set on a permuted cloud."""
+    reproduce the reference FPS set on a permuted cloud.
+
+    emit_coords=True additionally returns the selected coordinates
+    [B, k, 3] (bitwise equal to gathering xyz at the indices): the kernel
+    extracts them each step anyway, so the SA pipeline's centroid gather
+    becomes free."""
     # Integer-only outputs: sever the tangent path so pallas_call is
     # never traced by JVP (it has no AD rules).
     xyz = jax.lax.stop_gradient(jnp.asarray(xyz, jnp.float32))
@@ -146,7 +169,10 @@ def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
             # implement if such clouds ever matter.
             from pytorch_points_tpu.ops.sampling import _fps_xla
 
-            return _fps_xla(xyz, k, mask, seed_idx=seed_idx)
+            idx = _fps_xla(xyz, k, mask, seed_idx=seed_idx)
+            if emit_coords:
+                return idx, jnp.take_along_axis(xyz, idx[..., None], axis=1)
+            return idx
         outs = []
         for s in range(0, b, rows):
             outs.append(
@@ -155,7 +181,13 @@ def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
                     k,
                     None if mask is None else mask[s : s + rows],
                     None if seed_idx is None else seed_idx[s : s + rows],
+                    emit_coords=emit_coords,
                 )
+            )
+        if emit_coords:
+            return (
+                jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
             )
         return jnp.concatenate(outs, axis=0)
 
@@ -184,14 +216,20 @@ def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
     while bp * cs > 524288 and cs % 256 == 0:
         cs //= 2
 
+    out_shape = jax.ShapeDtypeStruct((bp, k), jnp.int32)
+    out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if emit_coords:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((3, bp, k), jnp.float32)]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_fps_kernel, k=k, cs=cs),
-        out_shape=jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bp, np_), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             # 5 resident planes + chunk temporaries (v5e VMEM: 128 MB)
@@ -206,4 +244,7 @@ def furthest_point_sample(xyz, k: int, mask=None, seed_idx=None):
         ),
         interpret=interpret_mode(),
     )(planes, init)
+    if emit_coords:
+        idx, coords = out
+        return idx[:b], jnp.transpose(coords[:, :b], (1, 2, 0))
     return out[:b]

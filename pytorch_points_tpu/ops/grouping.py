@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from pytorch_points_tpu.core.masking import poison_points
 from pytorch_points_tpu.kernels import dispatch
 from pytorch_points_tpu.ops.pairwise import pairwise_sqdist
-from pytorch_points_tpu.ops.sampling import furthest_point_sample, gather_points
+from pytorch_points_tpu.ops.sampling import furthest_point_sample_and_gather
 
 
 # ---------------------------------------------------------------------------
@@ -344,8 +344,9 @@ def sample_and_group(
       (new_xyz [B, npoint, 3], new_features [B, npoint, nsample, C'],
        idx [B, npoint, nsample], grouped_xyz [B, npoint, nsample, 3])
     """
-    idx_fps = furthest_point_sample(xyz, npoint, mask=mask, impl=impl)
-    new_xyz = gather_points(xyz, idx_fps)
+    new_xyz, idx_fps = furthest_point_sample_and_gather(
+        xyz, npoint, mask=mask, impl=impl
+    )
     if radius is not None:
         # Separate query + MXU group gather.  The fused coords-emitting
         # kernel (_bq_group_centered) WAS the fast path before the
@@ -430,8 +431,9 @@ def sample_and_group_sorted(
     # the reference pipeline (FPS is input-order independent beyond the
     # seed, exact ties aside).
     seed = jnp.argmax(perm == 0, axis=1).astype(jnp.int32)
-    idx_fps = furthest_point_sample(xs, npoint, impl=impl, seed_idx=seed)
-    cen = gather_points(xs, idx_fps)
+    cen, idx_fps = furthest_point_sample_and_gather(
+        xs, npoint, impl=impl, seed_idx=seed
+    )
     cs, _ = nn_sorted.sort_by_morton(cen)
     # Scan in ORIGINAL support order (see docstring); grouped coords and
     # features are gathered straight from the original-order arrays, so

@@ -155,9 +155,46 @@ def gather_points(features, idx):
     return _gather(features, idx)
 
 
-def furthest_point_sample_and_gather(xyz, k: int, mask=None, impl: str = "auto"):
-    """FPS then gather the sampled coordinates: returns (new_xyz [B,k,3], idx)."""
-    idx = furthest_point_sample(xyz, k, mask=mask, impl=impl)
+@jax.custom_vjp
+def _gather_emitted(xyz, idx, emitted):
+    # Forward value = the kernel-emitted coordinates (bitwise equal to
+    # gather_points(xyz, idx)); backward = the gather's scatter-add, so
+    # xyz stays differentiable even though the kernel stop-gradients it.
+    return emitted
+
+
+def _gather_emitted_fwd(xyz, idx, emitted):
+    return emitted, (idx, xyz.shape[1])
+
+
+def _gather_emitted_bwd(res, g):
+    idx, n = res
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    return scatter_add_auto(idx, g, n), None, jnp.zeros_like(g)
+
+
+_gather_emitted.defvjp(_gather_emitted_fwd, _gather_emitted_bwd)
+
+
+def furthest_point_sample_and_gather(xyz, k: int, mask=None,
+                                     impl: str = "auto", seed_idx=None):
+    """FPS then gather the sampled coordinates: returns (new_xyz [B,k,3], idx).
+
+    On the Pallas path the kernel emits the selected coordinates directly
+    (it extracts them every step anyway), so the centroid gather's forward
+    is free; the backward is the usual scatter-add into xyz."""
+    xyz = jnp.asarray(xyz)
+    if dispatch.resolve(impl, "fps") == "pallas":
+        from pytorch_points_tpu.kernels import fps as fps_kernel
+
+        with jax.named_scope("ppt.fps"):
+            idx, coords = fps_kernel.furthest_point_sample(
+                xyz, k, mask, seed_idx=seed_idx, emit_coords=True
+            )
+        return _gather_emitted(xyz, idx, coords), idx
+    idx = furthest_point_sample(xyz, k, mask=mask, impl=impl,
+                                seed_idx=seed_idx)
     return gather_points(xyz, idx), idx
 
 

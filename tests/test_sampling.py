@@ -85,3 +85,44 @@ def test_fps_first_index_large_coordinates(rng):
     mask[:, :7] = False  # lowest valid index is 7
     idx_m = np.asarray(furthest_point_sample(xyz, 32, mask=mask))
     assert np.all(idx_m[:, 0] == 7)
+
+
+def test_fps_emit_coords_bitwise_and_grads(rng):
+    """The kernel-emitted centroid coordinates are bitwise equal to
+    gather_points(xyz, idx) — masked and unmasked — and the fused path's
+    xyz gradient equals the gather path's scatter-add."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_points_tpu.kernels import fps as fps_kernel
+    from pytorch_points_tpu.ops.sampling import gather_points
+
+    xyz = rng.standard_normal((3, 192, 3), dtype=np.float32)
+    idx, coords = fps_kernel.furthest_point_sample(
+        jnp.asarray(xyz), 16, emit_coords=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(coords), np.asarray(gather_points(xyz, idx))
+    )
+    mask = np.ones((3, 192), bool)
+    mask[:, 150:] = False
+    idx_m, coords_m = fps_kernel.furthest_point_sample(
+        jnp.asarray(xyz), 16, mask=jnp.asarray(mask), emit_coords=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(coords_m), np.asarray(gather_points(xyz, idx_m))
+    )
+
+    def fused(x):
+        new_xyz, _ = furthest_point_sample_and_gather(x, 16)
+        return jnp.sum(new_xyz ** 2)
+
+    def gathered(x):
+        from pytorch_points_tpu.ops.sampling import furthest_point_sample
+
+        i = furthest_point_sample(x, 16)
+        return jnp.sum(gather_points(x, i) ** 2)
+
+    g_f = jax.grad(fused)(jnp.asarray(xyz))
+    g_g = jax.grad(gathered)(jnp.asarray(xyz))
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_g), rtol=1e-6)
