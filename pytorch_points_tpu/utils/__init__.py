@@ -15,3 +15,8 @@ from pytorch_points_tpu.utils.train_utils import (  # noqa: F401
     weights_init,
 )
 from pytorch_points_tpu.utils.trainer import Trainer  # noqa: F401
+from pytorch_points_tpu.utils.export import (  # noqa: F401
+    export_fn,
+    export_forward,
+    load_exported,
+)

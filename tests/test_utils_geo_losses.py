@@ -609,3 +609,40 @@ def test_render_points_ewa_perspective(rng):
 
     g = jax.grad(loss)(near)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_export_roundtrip_fn(tmp_path, rng):
+    """jax.export serving artifact: ops serialize and reload bitwise."""
+    import jax.numpy as jnp
+
+    from pytorch_points_tpu.ops import chamfer_distance
+    from pytorch_points_tpu.utils import export_fn, load_exported
+
+    p = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, 48, 3)), jnp.float32)
+    path = tmp_path / "chamfer.stablehlo"
+    export_fn(lambda a, b: chamfer_distance(a, b), (p, q), path=str(path))
+    restored = load_exported(str(path))
+    np.testing.assert_array_equal(
+        np.asarray(restored(p, q)), np.asarray(chamfer_distance(p, q))
+    )
+
+
+def test_export_forward_model_baked_weights(tmp_path, rng):
+    """A trained nnx model exports with weights baked in and reproduces
+    its forward exactly after reload from disk."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pytorch_points_tpu.models import PointCloudAutoencoder
+    from pytorch_points_tpu.utils import export_forward, load_exported
+
+    model = PointCloudAutoencoder(npoint1=32, npoint2=8, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    want = model(x)  # eager: jit fusion may differ in the last ulp
+    path = tmp_path / "ae.stablehlo"
+    export_forward(model, x, path=str(path))
+    got = load_exported(str(path))(x)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
