@@ -27,27 +27,34 @@ class SharedMLP(nnx.Module):
         activation: Callable = jax.nn.relu,
         norm: str | None = "layer",
         act_last: bool = True,
+        dtype=None,
         rngs: nnx.Rngs,
     ):
         """norm: None | "layer" (stateless, default) | "batch" (the
         reference's Conv+BN blocks; carries nnx.BatchStat state — use
         parallel.make_train_step which threads non-Param state, and
-        model.eval() for inference)."""
+        model.eval() for inference).
+
+        dtype: computation dtype (mixed precision).  Parameters stay
+        float32; ``dtype=jnp.bfloat16`` runs every matmul/norm on the
+        MXU's native bf16 path — the standard TPU training policy.  The
+        caller decides where to cast back (the models here promote at
+        the residual/loss boundary)."""
         if len(channels) < 2:
             raise ValueError("channels must include input and output dims")
         self.activation = activation
         self.act_last = act_last
         layers, norms = [], []
         for i, (cin, cout) in enumerate(zip(channels[:-1], channels[1:])):
-            layers.append(nnx.Linear(cin, cout, rngs=rngs))
+            layers.append(nnx.Linear(cin, cout, dtype=dtype, rngs=rngs))
             is_last = i == len(channels) - 2
             if norm is not None and (act_last or not is_last):
                 if norm == "layer":
-                    norms.append(nnx.LayerNorm(cout, rngs=rngs))
+                    norms.append(nnx.LayerNorm(cout, dtype=dtype, rngs=rngs))
                 elif norm == "batch":
                     norms.append(
                         nnx.BatchNorm(cout, use_running_average=False,
-                                      momentum=0.9, rngs=rngs)
+                                      momentum=0.9, dtype=dtype, rngs=rngs)
                     )
                 else:
                     raise ValueError(f"unknown norm {norm!r}")

@@ -25,17 +25,23 @@ class DenseEdgeConv(nnx.Module):
         n: int = 3,
         k: int = 16,
         *,
+        dtype=None,
         rngs: nnx.Rngs,
     ):
+        """dtype: mixed-precision computation dtype (params stay f32);
+        ``jnp.bfloat16`` keeps the dense-connectivity matmuls on the
+        MXU's native bf16 path.  The kNN graph itself is built on the
+        caller's coordinates at full precision."""
         self.k = k
         self.n = n
         self.growth_rate = growth_rate
         # first conv sees (center, neighbor - center) pairs
-        self.first = nnx.Linear(2 * in_channels, growth_rate, rngs=rngs)
+        self.first = nnx.Linear(2 * in_channels, growth_rate, dtype=dtype,
+                                rngs=rngs)
         convs = []
         cin = in_channels + growth_rate
         for _ in range(n - 1):
-            convs.append(nnx.Linear(cin, growth_rate, rngs=rngs))
+            convs.append(nnx.Linear(cin, growth_rate, dtype=dtype, rngs=rngs))
             cin += growth_rate
         self.convs = nnx.List(convs)
 

@@ -55,6 +55,7 @@ class PointNetSAModule(nnx.Module):
         group_all: bool = False,
         sorted_pipeline: bool = False,
         norm: str | None = "layer",
+        dtype=None,
         rngs: nnx.Rngs,
     ):
         self.npoint = npoint
@@ -65,7 +66,7 @@ class PointNetSAModule(nnx.Module):
         self.group_all = group_all
         self.sorted_pipeline = sorted_pipeline
         cin = in_channels + (3 if use_xyz or in_channels == 0 else 0)
-        self.mlp = SharedMLP([cin, *mlp], norm=norm, rngs=rngs)
+        self.mlp = SharedMLP([cin, *mlp], norm=norm, dtype=dtype, rngs=rngs)
 
     def __call__(self, xyz, features=None, mask=None):
         """[B,N,3], [B,N,C] -> (new_xyz [B,P,3], new_features [B,P,mlp[-1]])."""
@@ -103,8 +104,9 @@ class PointNetFPModule(nnx.Module):
     """Feature propagation: 3-NN inverse-distance upsampling + skip + MLP."""
 
     def __init__(self, in_channels: int, mlp: Sequence[int], *,
-                 norm: str | None = "layer", rngs: nnx.Rngs):
-        self.mlp = SharedMLP([in_channels, *mlp], norm=norm, rngs=rngs)
+                 norm: str | None = "layer", dtype=None, rngs: nnx.Rngs):
+        self.mlp = SharedMLP([in_channels, *mlp], norm=norm, dtype=dtype,
+                             rngs=rngs)
 
     def __call__(self, xyz_hi, xyz_lo, feat_hi, feat_lo, lo_mask=None):
         """Upsample feat_lo [B,m,C] onto xyz_hi [B,n,3]; concat feat_hi skip.

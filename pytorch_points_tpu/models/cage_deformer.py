@@ -21,11 +21,18 @@ class CageDeformer(nnx.Module):
 
     def __init__(self, n_cage_verts: int, *, npoint1: int = 256,
                  npoint2: int = 64, offset_scale: float = 0.1,
-                 rngs: nnx.Rngs):
-        self.encoder_src = PointNet2Encoder(npoint1, npoint2, rngs=rngs)
-        self.encoder_tgt = PointNet2Encoder(npoint1, npoint2, rngs=rngs)
+                 dtype=None, rngs: nnx.Rngs):
+        # dtype: mixed-precision compute dtype for the encoders + head
+        # (params stay f32).  The tanh-scaled offsets are promoted to
+        # f32 below, so the MVC deformation matmul — the geometric
+        # output — always runs at full precision.
+        self.encoder_src = PointNet2Encoder(npoint1, npoint2, dtype=dtype,
+                                            rngs=rngs)
+        self.encoder_tgt = PointNet2Encoder(npoint1, npoint2, dtype=dtype,
+                                            rngs=rngs)
         self.head = SharedMLP(
-            [2048, 512, 256, n_cage_verts * 3], act_last=False, rngs=rngs
+            [2048, 512, 256, n_cage_verts * 3], act_last=False, dtype=dtype,
+            rngs=rngs
         )
         self.n_cage_verts = n_cage_verts
         self.offset_scale = offset_scale

@@ -30,18 +30,20 @@ class PointNet2Encoder(nnx.Module):
         nsample: int = 32,
         *,
         norm: str | None = "layer",
+        dtype=None,
         rngs: nnx.Rngs,
     ):
         self.sa1 = PointNetSAModule(
             0, [64, 64, 128], npoint=npoint1, radius=radius1,
-            nsample=nsample, norm=norm, rngs=rngs,
+            nsample=nsample, norm=norm, dtype=dtype, rngs=rngs,
         )
         self.sa2 = PointNetSAModule(
             128, [128, 128, 256], npoint=npoint2, radius=radius2,
-            nsample=nsample, norm=norm, rngs=rngs,
+            nsample=nsample, norm=norm, dtype=dtype, rngs=rngs,
         )
         self.sa3 = PointNetSAModule(
-            256, [256, 512, 1024], group_all=True, norm=norm, rngs=rngs
+            256, [256, 512, 1024], group_all=True, norm=norm, dtype=dtype,
+            rngs=rngs
         )
 
     def __call__(self, xyz, mask=None):
@@ -59,12 +61,20 @@ class PointCloudAutoencoder(nnx.Module):
     """
 
     def __init__(self, npoint1: int = 512, npoint2: int = 128, *,
-                 norm: str | None = "layer", rngs: nnx.Rngs):
-        self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm, rngs=rngs)
-        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm, rngs=rngs)
-        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm, rngs=rngs)
-        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, rngs=rngs)
-        self.head = SharedMLP([128, 64, 3], act_last=False, norm=norm, rngs=rngs)
+                 norm: str | None = "layer", dtype=None, rngs: nnx.Rngs):
+        # dtype: mixed-precision computation dtype (e.g. jnp.bfloat16 on
+        # TPU); params stay f32, and the residual add below promotes the
+        # prediction back to the coordinates' f32 for the loss kernels.
+        self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
+                                        dtype=dtype, rngs=rngs)
+        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
+                                    dtype=dtype, rngs=rngs)
+        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
+                                    dtype=dtype, rngs=rngs)
+        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, dtype=dtype,
+                                    rngs=rngs)
+        self.head = SharedMLP([128, 64, 3], act_last=False, norm=norm,
+                              dtype=dtype, rngs=rngs)
 
     def __call__(self, xyz, mask=None):
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
@@ -81,10 +91,12 @@ class PointCloudAutoencoder(nnx.Module):
 class PointNet2Classifier(nnx.Module):
     """Classic PointNet++ SSG classifier head."""
 
-    def __init__(self, num_classes: int = 40, *, rngs: nnx.Rngs):
-        self.encoder = PointNet2Encoder(rngs=rngs)
+    def __init__(self, num_classes: int = 40, *, dtype=None,
+                 rngs: nnx.Rngs):
+        self.encoder = PointNet2Encoder(dtype=dtype, rngs=rngs)
         self.head = SharedMLP(
-            [1024, 512, 256, num_classes], act_last=False, rngs=rngs
+            [1024, 512, 256, num_classes], act_last=False, dtype=dtype,
+            rngs=rngs
         )
 
     def __call__(self, xyz, mask=None):

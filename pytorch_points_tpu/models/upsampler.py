@@ -23,18 +23,25 @@ class PointUpsampler(nnx.Module):
         dense_n: int = 3,
         k: int = 16,
         *,
+        dtype=None,
         rngs: nnx.Rngs,
     ):
+        # dtype: mixed-precision computation dtype (params stay f32);
+        # the residual add below promotes offsets back to the
+        # coordinates' f32 so the loss kernels see full precision.
         self.ratio = ratio
-        self.lift = nnx.Linear(3, channels, rngs=rngs)
-        self.edge1 = DenseEdgeConv(channels, growth_rate, dense_n, k, rngs=rngs)
+        self.lift = nnx.Linear(3, channels, dtype=dtype, rngs=rngs)
+        self.edge1 = DenseEdgeConv(channels, growth_rate, dense_n, k,
+                                   dtype=dtype, rngs=rngs)
         c1 = channels + dense_n * growth_rate
-        self.edge2 = DenseEdgeConv(c1, growth_rate, dense_n, k, rngs=rngs)
+        self.edge2 = DenseEdgeConv(c1, growth_rate, dense_n, k,
+                                   dtype=dtype, rngs=rngs)
         c2 = c1 + dense_n * growth_rate
         # expansion: each point spawns `ratio` children, each with its own
         # learned code (grid trick from PU-Net/3PU).
-        self.expand = SharedMLP([c2 + 2, 128, 128], rngs=rngs)
-        self.head = SharedMLP([128, 64, 3], act_last=False, rngs=rngs)
+        self.expand = SharedMLP([c2 + 2, 128, 128], dtype=dtype, rngs=rngs)
+        self.head = SharedMLP([128, 64, 3], act_last=False, dtype=dtype,
+                              rngs=rngs)
 
     def __call__(self, xyz, mask=None):
         """[B, N, 3] -> [B, N * ratio, 3]."""

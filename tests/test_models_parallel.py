@@ -440,3 +440,47 @@ def test_emd_sharded_masked(rng):
     )(p)
     assert (np.asarray(gp)[:, nv:] == 0).all()
     assert np.isfinite(np.asarray(gp)).all()
+
+
+def test_autoencoder_bf16_mixed_precision(rng):
+    """dtype=bfloat16 runs the MLP stack in bf16 (params stay f32, the
+    residual add promotes predictions back to f32) and still trains."""
+    model = PointCloudAutoencoder(
+        npoint1=32, npoint2=8, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    pred = model(x)
+    assert pred.dtype == jnp.float32  # promoted at the residual boundary
+    assert np.isfinite(np.asarray(pred)).all()
+    graphdef, params = nnx.split(model)
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(params)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+    )
+
+    logits = PointNet2Classifier(
+        num_classes=4, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)
+    )(x)
+    assert logits.dtype == jnp.bfloat16  # compute dtype flows to the head
+
+    up = PointUpsampler(
+        ratio=2, channels=8, growth_rate=8, dense_n=2, k=4,
+        dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )(x)
+    assert up.dtype == jnp.float32  # parent + offsets promotes
+    assert np.isfinite(np.asarray(up)).all()
+
+    _need_devices(8)
+    mesh = parallel.make_mesh({"data": 8})
+    loss_fn = parallel.reconstruction_loss(emd_weight=0.0)
+    step, state = parallel.make_train_step(
+        model, optax.adam(1e-3), mesh, loss_fn, donate=False
+    )
+    batch = {"points": jnp.asarray(rng.standard_normal((8, 128, 3)),
+                                   jnp.float32)}
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
