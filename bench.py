@@ -201,6 +201,31 @@ def main():
     details["config5_sa_fp_train_step_B16_N2048_ms"] = round(t5 * 1e3, 1)
     details["config5_chamfer_path"] = chamfer_path(x5, x5)
 
+    # Config 5b: the same train step under the bf16 mixed-precision
+    # policy (params f32, MLP compute bf16, f32 at the loss boundary) —
+    # the standard TPU training configuration.
+    model_bf = PointCloudAutoencoder(
+        npoint1=512, npoint2=128, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)
+    )
+    graphdef_bf, params_bf = nnx.split(model_bf)
+    opt_state_bf = tx.init(params_bf)
+
+    @jax.jit
+    def train_step_bf(params, opt_state, xyz):
+        def loss_fn(params):
+            m = nnx.merge(graphdef_bf, params)
+            pred = m(xyz)
+            cd = ppt.chamfer_distance(pred, xyz)
+            emd, _ = ppt.earth_mover_distance(pred, xyz)
+            return cd + 0.1 * jnp.mean(emd)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    t5b = measure(train_step_bf, params_bf, opt_state_bf, x5, iters=3)
+    details["config5b_train_step_bf16_B16_N2048_ms"] = round(t5b * 1e3, 1)
+
     # --- Config 4c: EMD on CORRELATED clouds (untrained-model output vs
     # its input — the distribution a real train step feeds the loss, ~2-3x
     # costlier than random clouds and previously untracked for QUALITY).
