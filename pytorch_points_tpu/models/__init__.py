@@ -8,6 +8,7 @@ from pytorch_points_tpu.models.pointnet2 import (  # noqa: F401
     PointCloudAutoencoder,
     PointNet2Classifier,
     PointNet2Encoder,
+    PointNet2SemSeg,
 )
 from pytorch_points_tpu.models.cage_deformer import CageDeformer  # noqa: F401
 from pytorch_points_tpu.models.upsampler import PointUpsampler  # noqa: F401

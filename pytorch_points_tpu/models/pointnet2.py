@@ -102,3 +102,35 @@ class PointNet2Classifier(nnx.Module):
     def __call__(self, xyz, mask=None):
         _, feats = self.encoder(xyz, mask=mask)
         return self.head(feats[3][:, 0, :])  # [B, num_classes] logits
+
+
+class PointNet2SemSeg(nnx.Module):
+    """PointNet++ SSG semantic segmentation: SA encoder + FP decoder +
+    per-point class head (the canonical scene/part segmentation family
+    the reference's SA/FP stack exists to serve; same SA+FP composition
+    as the autoencoder with a logits head instead of coordinates)."""
+
+    def __init__(self, num_classes: int, *, npoint1: int = 512,
+                 npoint2: int = 128, norm: str | None = "layer",
+                 dtype=None, rngs: nnx.Rngs):
+        self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
+                                        dtype=dtype, rngs=rngs)
+        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
+                                    dtype=dtype, rngs=rngs)
+        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
+                                    dtype=dtype, rngs=rngs)
+        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, dtype=dtype,
+                                    rngs=rngs)
+        self.head = SharedMLP([128, 128, num_classes], act_last=False,
+                              norm=norm, dtype=dtype, rngs=rngs)
+
+    def __call__(self, xyz, mask=None):
+        """[B, N, 3] -> per-point logits [B, N, num_classes]."""
+        (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
+        g2 = self.fp3(x2, x3, f2, f3)
+        g1 = self.fp2(x1, x2, f1, g2)
+        g0 = self.fp1(x0, x1, None, g1)
+        logits = self.head(g0)
+        if mask is not None:
+            logits = jnp.where(mask[..., None], logits, 0.0)
+        return logits

@@ -112,6 +112,20 @@ if _big:
     assert np.array_equal(np.asarray(md1)[mnp], np.asarray(dd[0])[mnp])
     print("sorted nndistance (unmasked+masked) bitwise vs dense at N=8192 ok")
 
+# 4c. round-3 surface: semantic segmentation head + bf16 policy — one
+# cross-entropy step on per-point logits, mixed-precision forward.
+from pytorch_points_tpu.models import PointNet2SemSeg
+
+seg = PointNet2SemSeg(num_classes=6, npoint1=32, npoint2=8,
+                      rngs=nnx.Rngs(1))
+seg_logits = jax.jit(seg)(jnp.asarray(gt[:2, :128]))
+assert seg_logits.shape == (2, 128, 6)
+ae16 = PointCloudAutoencoder(npoint1=32, npoint2=8, dtype=jnp.bfloat16,
+                             rngs=nnx.Rngs(0))
+p16 = jax.jit(ae16)(jnp.asarray(gt[:2, :128]))
+assert p16.dtype == jnp.float32 and bool(jnp.isfinite(p16).all())
+print("semseg logits + bf16 policy ok")
+
 # 5. group_knn unique semantics + binary mesh I/O (round-2 surface)
 import os
 

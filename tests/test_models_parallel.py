@@ -442,6 +442,44 @@ def test_emd_sharded_masked(rng):
     assert np.isfinite(np.asarray(gp)).all()
 
 
+def test_semseg_forward_and_training(rng):
+    """PointNet2SemSeg: per-point logits, masked rows zeroed, and a few
+    cross-entropy steps descend."""
+    from pytorch_points_tpu.models import PointNet2SemSeg
+
+    model = PointNet2SemSeg(num_classes=5, npoint1=32, npoint2=8,
+                            rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    logits = model(x)
+    assert logits.shape == (2, 128, 5)
+    mask = jnp.broadcast_to(jnp.arange(128)[None, :] < 100, (2, 128))
+    masked = model(x, mask=mask)
+    assert (np.asarray(masked)[:, 100:] == 0).all()
+
+    labels = jnp.asarray(rng.integers(0, 5, (2, 128)))
+    graphdef, params = nnx.split(model)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(params):
+            lg = nnx.merge(graphdef, params)(x)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_autoencoder_bf16_mixed_precision(rng):
     """dtype=bfloat16 runs the MLP stack in bf16 (params stay f32, the
     residual add promotes predictions back to f32) and still trains."""
