@@ -31,8 +31,16 @@ class PointNet2Encoder(nnx.Module):
         *,
         norm: str | None = "layer",
         dtype=None,
+        remat: bool = False,
         rngs: nnx.Rngs,
     ):
+        # remat: rematerialize each SA stage's activations in the
+        # backward pass (jax.checkpoint) — the grouped [B,P,nsample,C]
+        # tensors are the forward's memory peak, so this trades one
+        # recompute for the dominant activation storage at large N.
+        # Use with stateless norms ("layer"/None); BatchNorm's running
+        # stats must not be updated twice.
+        self.remat = remat
         self.sa1 = PointNetSAModule(
             0, [64, 64, 128], npoint=npoint1, radius=radius1,
             nsample=nsample, norm=norm, dtype=dtype, rngs=rngs,
@@ -47,9 +55,15 @@ class PointNet2Encoder(nnx.Module):
         )
 
     def __call__(self, xyz, mask=None):
-        xyz1, f1 = self.sa1(xyz, None, mask=mask)
-        xyz2, f2 = self.sa2(xyz1, f1)
-        xyz3, f3 = self.sa3(xyz2, f2)
+        if self.remat:
+            sa = nnx.remat(lambda m, *a: m(*a))
+            xyz1, f1 = sa(self.sa1, xyz, None, mask)
+            xyz2, f2 = sa(self.sa2, xyz1, f1)
+            xyz3, f3 = sa(self.sa3, xyz2, f2)
+        else:
+            xyz1, f1 = self.sa1(xyz, None, mask=mask)
+            xyz2, f2 = self.sa2(xyz1, f1)
+            xyz3, f3 = self.sa3(xyz2, f2)
         return (xyz, xyz1, xyz2, xyz3), (None, f1, f2, f3)
 
 
@@ -61,12 +75,15 @@ class PointCloudAutoencoder(nnx.Module):
     """
 
     def __init__(self, npoint1: int = 512, npoint2: int = 128, *,
-                 norm: str | None = "layer", dtype=None, rngs: nnx.Rngs):
+                 norm: str | None = "layer", dtype=None,
+                 remat: bool = False, rngs: nnx.Rngs):
         # dtype: mixed-precision computation dtype (e.g. jnp.bfloat16 on
         # TPU); params stay f32, and the residual add below promotes the
         # prediction back to the coordinates' f32 for the loss kernels.
+        # remat: checkpoint each SA/FP stage (see PointNet2Encoder).
+        self.remat = remat
         self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
-                                        dtype=dtype, rngs=rngs)
+                                        dtype=dtype, remat=remat, rngs=rngs)
         self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
                                     dtype=dtype, rngs=rngs)
         self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
@@ -78,9 +95,15 @@ class PointCloudAutoencoder(nnx.Module):
 
     def __call__(self, xyz, mask=None):
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
-        g2 = self.fp3(x2, x3, f2, f3)  # x3 is [B,1,3]: global broadcast
-        g1 = self.fp2(x1, x2, f1, g2)
-        g0 = self.fp1(x0, x1, None, g1)
+        if self.remat:
+            fp = nnx.remat(lambda m, *a: m(*a))
+            g2 = fp(self.fp3, x2, x3, f2, f3)
+            g1 = fp(self.fp2, x1, x2, f1, g2)
+            g0 = fp(self.fp1, x0, x1, None, g1)
+        else:
+            g2 = self.fp3(x2, x3, f2, f3)  # x3 is [B,1,3]: global broadcast
+            g1 = self.fp2(x1, x2, f1, g2)
+            g0 = self.fp1(x0, x1, None, g1)
         offsets = self.head(g0)
         pred = xyz + offsets
         if mask is not None:
@@ -112,9 +135,10 @@ class PointNet2SemSeg(nnx.Module):
 
     def __init__(self, num_classes: int, *, npoint1: int = 512,
                  npoint2: int = 128, norm: str | None = "layer",
-                 dtype=None, rngs: nnx.Rngs):
+                 dtype=None, remat: bool = False, rngs: nnx.Rngs):
+        self.remat = remat
         self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
-                                        dtype=dtype, rngs=rngs)
+                                        dtype=dtype, remat=remat, rngs=rngs)
         self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
                                     dtype=dtype, rngs=rngs)
         self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
@@ -127,9 +151,15 @@ class PointNet2SemSeg(nnx.Module):
     def __call__(self, xyz, mask=None):
         """[B, N, 3] -> per-point logits [B, N, num_classes]."""
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
-        g2 = self.fp3(x2, x3, f2, f3)
-        g1 = self.fp2(x1, x2, f1, g2)
-        g0 = self.fp1(x0, x1, None, g1)
+        if self.remat:
+            fp = nnx.remat(lambda m, *a: m(*a))
+            g2 = fp(self.fp3, x2, x3, f2, f3)
+            g1 = fp(self.fp2, x1, x2, f1, g2)
+            g0 = fp(self.fp1, x0, x1, None, g1)
+        else:
+            g2 = self.fp3(x2, x3, f2, f3)
+            g1 = self.fp2(x1, x2, f1, g2)
+            g0 = self.fp1(x0, x1, None, g1)
         logits = self.head(g0)
         if mask is not None:
             logits = jnp.where(mask[..., None], logits, 0.0)

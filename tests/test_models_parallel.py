@@ -480,6 +480,31 @@ def test_semseg_forward_and_training(rng):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_autoencoder_remat_grads_match(rng):
+    """remat=True (per-SA/FP-stage jax.checkpoint) must change memory,
+    not math: loss and grads equal the non-remat model bitwise."""
+    x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+
+    def grads(remat):
+        model = PointCloudAutoencoder(npoint1=32, npoint2=8, remat=remat,
+                                      rngs=nnx.Rngs(0))
+        graphdef, params = nnx.split(model)
+
+        @jax.jit
+        def loss_fn(params):
+            pred = nnx.merge(graphdef, params)(x)
+            return jnp.mean((pred - x) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    (l0, g0), (l1, g1) = grads(False), grads(True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_autoencoder_bf16_mixed_precision(rng):
     """dtype=bfloat16 runs the MLP stack in bf16 (params stay f32, the
     residual add promotes predictions back to f32) and still trains."""
