@@ -31,4 +31,5 @@ from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
     three_nn_sharded,
     nndistance_ring,
     nndistance_sharded,
+    sample_and_group_sharded,
 )

@@ -587,3 +587,59 @@ def three_interpolate_sharded(features, idx, weight, mesh, *,
         out_specs=P(None, points_axis, None),
         check_vma=False,
     )(features, idx, weight)
+
+
+def sample_and_group_sharded(
+    xyz,
+    features,
+    npoint: int,
+    nsample: int,
+    radius: float,
+    mesh,
+    *,
+    use_xyz: bool = True,
+    normalize_radius: bool = False,
+    mask=None,
+    points_axis: str = "points",
+):
+    """The full SA front-end (FPS -> ball query -> group -> center) as one
+    SPMD composition over the points axis — the model-level counterpart
+    of the per-op sharded variants (SURVEY.md §3.3, §6).
+
+    FPS runs on the N-sharded support (per-step communication is the
+    O(ndev*B) two-level argmax combine); the query stages shard the
+    npoint centroids instead (communication-free forwards; feature-grad
+    partials psum-merge in the backward).  Outputs match
+    :func:`pytorch_points_tpu.ops.sample_and_group` exactly — same
+    indices (bitwise, lowest-index ties) and values — with the
+    [B, npoint, nsample, C] tensors sharded over npoint.
+
+    Only ball-query grouping is offered (radius required): kNN grouping
+    has no sharded variant yet.
+    """
+    idx_fps = furthest_point_sample_sharded(
+        xyz, npoint, mesh, mask, points_axis=points_axis
+    )
+    new_xyz = jnp.take_along_axis(xyz, idx_fps[..., None], axis=1)
+    idx, _ = ball_query_sharded(
+        xyz, new_xyz, radius, nsample, mesh, mask, points_axis=points_axis
+    )
+    grouped_xyz = group_points_sharded(
+        xyz, idx, mesh, points_axis=points_axis
+    )
+    centered = grouped_xyz - new_xyz[:, :, None, :]
+    if normalize_radius:
+        centered = centered / radius
+    if features is not None:
+        grouped_features = group_points_sharded(
+            features, idx, mesh, points_axis=points_axis
+        )
+        if use_xyz:
+            new_features = jnp.concatenate(
+                [centered, grouped_features], axis=-1
+            )
+        else:
+            new_features = grouped_features
+    else:
+        new_features = centered
+    return new_xyz, new_features, idx, grouped_xyz

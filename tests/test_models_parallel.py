@@ -442,6 +442,45 @@ def test_emd_sharded_masked(rng):
     assert np.isfinite(np.asarray(gp)).all()
 
 
+def test_sample_and_group_sharded_matches(rng):
+    """The composed SPMD SA front-end == the single-device
+    sample_and_group: indices bitwise, values equal, feature grads
+    psum-merge to the replicated grads."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops import sample_and_group
+
+    mesh = parallel.make_mesh({"points": 8})
+    xyz = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 128, 4)), jnp.float32)
+
+    got = parallel.sample_and_group_sharded(
+        xyz, feats, 16, 8, 0.8, mesh, normalize_radius=True
+    )
+    want = sample_and_group(xyz, feats, 16, 8, 0.8, normalize_radius=True)
+    for g, w, name in zip(got, want, ("new_xyz", "feats", "idx", "grouped")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
+
+    # masked variant + feature gradient identity
+    mask = np.ones((2, 128), bool)
+    mask[:, 100:] = False
+    mask = jnp.asarray(mask)
+
+    def loss_sh(f):
+        _, nf, _, _ = parallel.sample_and_group_sharded(
+            xyz, f, 16, 8, 0.8, mesh, mask=mask
+        )
+        return jnp.sum(nf**2)
+
+    def loss_rep(f):
+        _, nf, _, _ = sample_and_group(xyz, f, 16, 8, 0.8, mask=mask)
+        return jnp.sum(nf**2)
+
+    g_sh = jax.grad(loss_sh)(feats)
+    g_rep = jax.grad(loss_rep)(feats)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_rep),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_semseg_forward_and_training(rng):
     """PointNet2SemSeg: per-point logits, masked rows zeroed, and a few
     cross-entropy steps descend."""
