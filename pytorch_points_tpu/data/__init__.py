@@ -10,9 +10,12 @@ buckets (SURVEY.md §8.4 hard-part 3).  This package provides exactly that:
   * :class:`BucketedBatcher` — groups clouds by bucketed size into padded
     (points, mask) batches, one static shape per bucket,
   * :class:`Prefetcher` — background-thread batch prefetch (host I/O +
-    padding overlapped with device compute).
+    padding overlapped with device compute),
+  * :mod:`augment` — keyed on-device augmentation (jitter/rotate/scale/
+    dropout) for inside the jitted train step.
 """
 
+from pytorch_points_tpu.data import augment  # noqa: F401
 from pytorch_points_tpu.data.loader import (  # noqa: F401
     BucketedBatcher,
     Prefetcher,

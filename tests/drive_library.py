@@ -112,6 +112,16 @@ if _big:
     assert np.array_equal(np.asarray(md1)[mnp], np.asarray(dd[0])[mnp])
     print("sorted nndistance (unmasked+masked) bitwise vs dense at N=8192 ok")
 
+# 4b2. round-3 surface: keyed on-device augmentation inside jit.
+from pytorch_points_tpu.data import augment
+
+ka = jax.random.PRNGKey(0)
+xa = jnp.asarray(gt[:2, :128])
+aug = jax.jit(lambda k, x: augment.rotate(
+    k, augment.jitter(jax.random.split(k)[0], x)))(ka, xa)
+assert aug.shape == xa.shape and bool(jnp.isfinite(aug).all())
+print("on-device augmentation ok")
+
 # 4c. round-3 surface: semantic segmentation head + bf16 policy — one
 # cross-entropy step on per-point logits, mixed-precision forward.
 from pytorch_points_tpu.models import PointNet2SemSeg

@@ -100,3 +100,50 @@ def test_prefetcher_abandoned_iteration_releases_producer():
         time.sleep(0.05)
     assert threading.active_count() <= before
     assert len(produced) < 1000  # producer stopped early, not drained
+
+
+def test_augment_ops(rng):
+    """Keyed on-device augmentation: jit-compatible, mask-respecting,
+    rotation preserves lengths, dropout never empties a cloud."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_points_tpu.data import augment
+
+    x = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    mask = jnp.asarray(np.arange(64)[None] < 48).repeat(4, 0)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    j = jax.jit(lambda k, x: augment.jitter(k, x, mask=mask))(k1, x)
+    assert np.abs(np.asarray(j - x)).max() <= 0.05 + 1e-6
+    assert np.array_equal(np.asarray(j)[:, 48:], np.asarray(x)[:, 48:])
+
+    nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 64, 1))
+    r, rn = jax.jit(lambda k, x, n: augment.rotate(k, x, n))(k2, x, nrm)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(r), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rn), axis=-1), 1.0, rtol=1e-5
+    )
+    # y-axis rotation preserves the y component
+    np.testing.assert_allclose(
+        np.asarray(r)[..., 1], np.asarray(x)[..., 1], atol=1e-6
+    )
+
+    s = jax.jit(lambda k, x: augment.random_scale(k, x))(k3, x)
+    ratio = np.asarray(s) / np.asarray(x)
+    per_cloud = ratio.reshape(4, -1)
+    assert np.allclose(per_cloud, per_cloud[:, :1], rtol=1e-5)
+    assert (per_cloud[:, 0] >= 0.8 - 1e-6).all()
+    assert (per_cloud[:, 0] <= 1.25 + 1e-6).all()
+
+    _, keep = jax.jit(
+        lambda k, x: augment.random_dropout(k, x, max_ratio=0.9, mask=mask)
+    )(k4, x)
+    keep = np.asarray(keep)
+    assert (~keep[:, 48:]).all()          # invalid stays invalid
+    assert keep.any(axis=1).all()         # never empties a cloud
+    assert keep.sum() < np.asarray(mask).sum()  # actually drops something
