@@ -39,6 +39,7 @@ from pytorch_points_tpu.ops import (  # noqa: F401
     sample_and_group,
     three_interpolate,
     three_nn,
+    voxel_downsample_mask,
 )
 
 from pytorch_points_tpu import (  # noqa: F401

@@ -23,6 +23,7 @@ from pytorch_points_tpu.ops.normalize import (  # noqa: F401
 )
 from pytorch_points_tpu.ops.normals import batch_normals  # noqa: F401
 from pytorch_points_tpu.ops.pairwise import pairwise_sqdist  # noqa: F401
+from pytorch_points_tpu.ops.voxel import voxel_downsample_mask  # noqa: F401
 from pytorch_points_tpu.ops.sampling import (  # noqa: F401
     furthest_point_sample,
     furthest_point_sample_and_gather,

@@ -120,7 +120,9 @@ xa = jnp.asarray(gt[:2, :128])
 aug = jax.jit(lambda k, x: augment.rotate(
     k, augment.jitter(jax.random.split(k)[0], x)))(ka, xa)
 assert aug.shape == xa.shape and bool(jnp.isfinite(aug).all())
-print("on-device augmentation ok")
+vx = jax.jit(lambda x: ppt.voxel_downsample_mask(x, 0.3))(xa)
+assert bool(vx.any()) and vx.shape == xa.shape[:2]
+print("on-device augmentation + voxel downsample ok")
 
 # 4c. round-3 surface: semantic segmentation head + bf16 policy — one
 # cross-entropy step on per-point logits, mixed-precision forward.

@@ -147,3 +147,37 @@ def test_augment_ops(rng):
     assert (~keep[:, 48:]).all()          # invalid stays invalid
     assert keep.any(axis=1).all()         # never empties a cloud
     assert keep.sum() < np.asarray(mask).sum()  # actually drops something
+
+
+def test_voxel_downsample_mask(rng):
+    """Device voxel downsample: exactly one representative per occupied
+    voxel, always the lowest valid index; invalid points stay invalid."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_points_tpu.ops import voxel_downsample_mask
+
+    x = rng.uniform(-1, 1, (3, 256, 3)).astype(np.float32)
+    mask = np.ones((3, 256), bool)
+    mask[:, 200:] = False
+    keep = np.asarray(jax.jit(
+        lambda x, m: voxel_downsample_mask(x, 0.25, mask=m)
+    )(jnp.asarray(x), jnp.asarray(mask)))
+
+    assert not keep[:, 200:].any()
+    for b in range(3):
+        lo = x[b, :200].min(axis=0)
+        g = np.floor((x[b] - lo) / 0.25).astype(np.int64)
+        key = (g[:, 0] << 20) | (g[:, 1] << 10) | g[:, 2]
+        first = {}
+        for i in range(200):
+            first.setdefault(key[i], i)
+        want = np.zeros(256, bool)
+        want[list(first.values())] = True
+        np.testing.assert_array_equal(keep[b], want)
+
+    # composes with masked ops: a downsampled cloud still FPS-samples
+    from pytorch_points_tpu.ops import furthest_point_sample
+
+    idx = furthest_point_sample(jnp.asarray(x), 16, mask=jnp.asarray(keep))
+    assert keep[np.arange(3)[:, None], np.asarray(idx)].all()
