@@ -29,13 +29,19 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--emd-weight", type=float, default=0.1)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute policy (f32 params)")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint each SA/FP stage (larger N per chip)")
     args = ap.parse_args()
 
     ndev = jax.device_count()
     assert args.batch % ndev == 0, "batch must divide device count"
     mesh = parallel.make_mesh({"data": ndev})
     model = PointCloudAutoencoder(
-        npoint1=args.n // 4, npoint2=args.n // 16, rngs=nnx.Rngs(0)
+        npoint1=args.n // 4, npoint2=args.n // 16,
+        dtype=jnp.bfloat16 if args.bf16 else None, remat=args.remat,
+        rngs=nnx.Rngs(0)
     )
     loss_fn = parallel.reconstruction_loss(emd_weight=args.emd_weight)
     step, state = parallel.make_train_step(
