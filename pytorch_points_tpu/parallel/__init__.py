@@ -27,6 +27,7 @@ from pytorch_points_tpu.parallel.sharded_ops import (  # noqa: F401
     earth_mover_distance_sharded,
     furthest_point_sample_sharded,
     group_points_sharded,
+    knn_sharded,
     three_interpolate_sharded,
     three_nn_sharded,
     nndistance_ring,

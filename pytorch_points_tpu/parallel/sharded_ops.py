@@ -643,3 +643,39 @@ def sample_and_group_sharded(
     else:
         new_features = centered
     return new_xyz, new_features, idx, grouped_xyz
+
+
+def knn_sharded(query, support, k: int, mesh, support_mask=None, *,
+                points_axis: str = "points"):
+    """kNN with the QUERY set sharded over the points axis (support
+    replicated, forward communication-free — the same partitioning as
+    :func:`ball_query_sharded`).  Completes the sharded family: every op
+    wrapper in ops/ now has an SPMD variant.
+
+    Returns (dist [B, Nq, k], idx [B, Nq, k]) sharded over Nq, equal to
+    the single-device :func:`pytorch_points_tpu.ops.knn`."""
+    from pytorch_points_tpu.ops.grouping import knn
+
+    if support_mask is None:
+        def impl0(q_shard, s_full):
+            return knn(q_shard, s_full, k)
+
+        return jax.shard_map(
+            impl0,
+            mesh=mesh,
+            in_specs=(P(None, points_axis, None), P()),
+            out_specs=(P(None, points_axis, None),
+                       P(None, points_axis, None)),
+            check_vma=False,
+        )(query, support)
+
+    def impl1(q_shard, s_full, m_full):
+        return knn(q_shard, s_full, k, support_mask=m_full)
+
+    return jax.shard_map(
+        impl1,
+        mesh=mesh,
+        in_specs=(P(None, points_axis, None), P(), P()),
+        out_specs=(P(None, points_axis, None), P(None, points_axis, None)),
+        check_vma=False,
+    )(query, support, support_mask)

@@ -442,6 +442,29 @@ def test_emd_sharded_masked(rng):
     assert np.isfinite(np.asarray(gp)).all()
 
 
+def test_knn_sharded_matches(rng):
+    """Query-sharded kNN == single-device kNN (dists and indices),
+    masked and unmasked."""
+    _need_devices(8)
+    from pytorch_points_tpu.ops import knn
+
+    mesh = parallel.make_mesh({"points": 8})
+    q = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 96, 3)), jnp.float32)
+    gd, gi = parallel.knn_sharded(q, s, 8, mesh)
+    wd, wi = knn(q, s, 8)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    smask = np.ones((2, 96), bool)
+    smask[:, 60:] = False
+    gd, gi = parallel.knn_sharded(q, s, 8, mesh,
+                                  support_mask=jnp.asarray(smask))
+    wd, wi = knn(q, s, 8, support_mask=jnp.asarray(smask))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    assert (np.asarray(gi) < 60).all()
+
+
 def test_sample_and_group_sharded_matches(rng):
     """The composed SPMD SA front-end == the single-device
     sample_and_group: indices bitwise, values equal, feature grads
