@@ -18,4 +18,5 @@ from pytorch_points_tpu.losses.metrics import (  # noqa: F401
     coverage_and_mmd,
     fscore,
     hausdorff_distance,
+    one_nn_accuracy,
 )

@@ -61,6 +61,46 @@ def chamfer_l1(p, q, p_mask=None, q_mask=None):
     return m(d1, p_mask) + m(d2, q_mask)
 
 
+def _cloud_dist_matrix(set_a, set_b, metric: str, emd_kwargs):
+    """[A,N,3] x [B,N,3] -> [A,B] pairwise cloud distances."""
+    import jax
+
+    def pair_dist(a, b):  # [n,3],[n,3] -> scalar
+        if metric == "emd":
+            dist, _ = earth_mover_distance(
+                a[None], b[None], **(emd_kwargs or {})
+            )
+            return jnp.mean(dist)
+        d1, _, d2, _ = nndistance(a[None], b[None])
+        return jnp.mean(d1) + jnp.mean(d2)
+
+    return jax.vmap(
+        lambda a: jax.vmap(lambda b: pair_dist(a, b))(set_b)
+    )(set_a)
+
+
+def one_nn_accuracy(generated, reference_set, *, metric: str = "chamfer",
+                    emd_kwargs=None):
+    """1-NNA two-sample test (Lopez-Paz & Oquab; standard for point-cloud
+    generators): classify each cloud of the union by its nearest OTHER
+    cloud's set; the accuracy is ~0.5 when generated and reference are
+    indistinguishable, ->1.0 as they separate.
+
+    Args:
+      generated: [G, N, 3]; reference_set: [R, N, 3].
+
+    Returns: scalar accuracy in [0, 1].
+    """
+    g, r = generated.shape[0], reference_set.shape[0]
+    both = jnp.concatenate([generated, reference_set], axis=0)
+    dmat = _cloud_dist_matrix(both, both, metric, emd_kwargs)
+    dmat = dmat + jnp.diag(jnp.full((g + r,), jnp.inf))  # exclude self
+    nn = jnp.argmin(dmat, axis=1)
+    is_gen = jnp.arange(g + r) < g
+    correct = is_gen == (nn < g)
+    return jnp.mean(correct.astype(jnp.float32))
+
+
 def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
                      emd_kwargs=None):
     """Set-level generative metrics (Achlioptas et al.).
@@ -78,20 +118,8 @@ def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
     """
     g, r = generated.shape[0], reference_set.shape[0]
 
-    def pair_dist(a, b):  # [n,3],[n,3] -> scalar
-        if metric == "emd":
-            dist, _ = earth_mover_distance(
-                a[None], b[None], **(emd_kwargs or {})
-            )
-            return jnp.mean(dist)
-        d1, _, d2, _ = nndistance(a[None], b[None])
-        return jnp.mean(d1) + jnp.mean(d2)
-
-    import jax
-
     # [G, R] pairwise cloud distances (vmap over both sets)
-    dmat = jax.vmap(lambda a: jax.vmap(lambda b: pair_dist(a, b))(
-        reference_set))(generated)
+    dmat = _cloud_dist_matrix(generated, reference_set, metric, emd_kwargs)
     nearest_ref = jnp.argmin(dmat, axis=1)  # per generated cloud
     covered = jnp.zeros((r,), bool).at[nearest_ref].set(True)
     coverage = jnp.mean(covered.astype(jnp.float32))

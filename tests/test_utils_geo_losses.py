@@ -410,6 +410,17 @@ def test_metrics(rng):
     assert 0.0 <= float(cov) <= 1.0
     assert float(mmd) >= 0.0
 
+    # 1-NNA: well-separated sets classify perfectly; a set vs a near
+    # copy of itself is at chance (each cloud's NN is its twin in the
+    # other set).
+    from pytorch_points_tpu.losses import one_nn_accuracy
+
+    far = gen + 50.0
+    assert float(one_nn_accuracy(jnp.asarray(gen), jnp.asarray(far))) == 1.0
+    twin = gen + 1e-4
+    acc = float(one_nn_accuracy(jnp.asarray(gen), jnp.asarray(twin)))
+    assert acc <= 0.5
+
 
 # ---------------------------------------------------------------- splatting
 
