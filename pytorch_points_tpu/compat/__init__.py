@@ -108,3 +108,7 @@ def batch_normals(xyz, nn_size: int = 20, NCHW: bool = True):
     x = _to_bnc(xyz) if NCHW else xyz
     n = _ops.batch_normals(x, k=nn_size)
     return _to_bcn(n) if NCHW else n
+
+
+# torch <-> jax migration helpers (lazy torch import inside)
+from pytorch_points_tpu.compat import torch_bridge  # noqa: E402,F401

@@ -657,3 +657,54 @@ def test_export_forward_model_baked_weights(tmp_path, rng):
     assert got.shape == want.shape and got.dtype == want.dtype
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_torch_bridge(rng):
+    """torch <-> jax conversion + reference Conv1d/BN weight import into
+    SharedMLP: the jitted SharedMLP must reproduce the torch conv stack."""
+    torch = pytest.importorskip("torch")
+    import jax as _jax
+    from flax import nnx
+
+    from pytorch_points_tpu.compat import torch_bridge as tb
+    from pytorch_points_tpu.layers import SharedMLP
+
+    # array conversion with layout flips
+    t = torch.randn(2, 3, 16)  # reference [B, C, N]
+    a = tb.to_jax(t, channels_last=True)
+    assert a.shape == (2, 16, 3)
+    back = tb.from_jax(a, channels_first=True)
+    assert back.shape == (2, 3, 16)
+    np.testing.assert_allclose(back.numpy(), t.numpy(), rtol=1e-6)
+
+    # weight import: torch 1x1-conv + BN stack == SharedMLP(norm="batch")
+    torch.manual_seed(0)
+    convs = [torch.nn.Conv1d(3, 8, 1), torch.nn.Conv1d(8, 4, 1)]
+    bns = [torch.nn.BatchNorm1d(8), torch.nn.BatchNorm1d(4)]
+    with torch.no_grad():
+        for bn in bns:
+            bn.running_mean.normal_(); bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.normal_(); bn.bias.normal_()
+
+    mlp = SharedMLP([3, 8, 4], norm="batch", rngs=nnx.Rngs(0))
+    tb.load_shared_mlp_from_torch(
+        mlp,
+        [c.weight for c in convs],
+        [c.bias for c in convs],
+        [{"weight": bn.weight, "bias": bn.bias,
+          "running_mean": bn.running_mean,
+          "running_var": bn.running_var} for bn in bns],
+    )
+    mlp.eval()  # use imported running stats
+
+    x = rng.standard_normal((2, 16, 3)).astype(np.float32)
+    got = np.asarray(_jax.jit(mlp)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(np.swapaxes(x, 1, 2))  # [B, C, N]
+    with torch.no_grad():
+        h = xt
+        for c, bn in zip(convs, bns):
+            bn.eval()
+            h = torch.relu(bn(c(h)))
+    want = np.swapaxes(h.numpy(), 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
