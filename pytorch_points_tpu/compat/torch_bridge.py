@@ -75,8 +75,10 @@ def load_shared_mlp_from_torch(mlp, conv_weights, conv_biases=None,
         allowed).
       bn_params: optional list of dicts with torch BatchNorm state
         (``weight``, ``bias``, ``running_mean``, ``running_var``), one
-        per norm layer — only valid when the SharedMLP was built with
-        ``norm="batch"``.
+        per BatchNorm layer — only valid when the SharedMLP was built
+        with ``norm="batch"``.  With ``act_last=False`` the last layer
+        has no norm; pass one entry per REAL norm (None placeholders
+        are also accepted and skipped).
     """
     import jax.numpy as jnp
 
@@ -95,11 +97,13 @@ def load_shared_mlp_from_torch(mlp, conv_weights, conv_biases=None,
         if conv_biases is not None and conv_biases[i] is not None:
             layer.bias[...] = to_jax(conv_biases[i])
     if bn_params is not None:
-        if len(bn_params) != len(mlp.norms):
+        real_norms = [n for n in mlp.norms if n is not None]
+        states = [p for p in bn_params if p is not None]
+        if len(states) != len(real_norms):
             raise ValueError(
-                f"{len(bn_params)} BN states for {len(mlp.norms)} norms"
+                f"{len(states)} BN states for {len(real_norms)} norm layers"
             )
-        for norm, p in zip(mlp.norms, bn_params):
+        for norm, p in zip(real_norms, states):
             if not hasattr(norm, "mean"):
                 raise ValueError(
                     "bn_params given but SharedMLP was not built with "

@@ -18,6 +18,11 @@ from pytorch_points_tpu.ops import group_points, knn
 
 
 class DenseEdgeConv(nnx.Module):
+    """Densely-connected edge convolution over kNN graphs (3PU).
+
+    Output channels = in_channels + n * growth_rate; see the module
+    docstring for the layer's structure."""
+
     def __init__(
         self,
         in_channels: int,

@@ -18,6 +18,31 @@ from pytorch_points_tpu.layers import (
 )
 
 
+def _remat_call(module, *args):
+    """Call an nnx module, rematerializing its activations when asked."""
+    return nnx.remat(lambda m, *a: m(*a))(module, *args)
+
+
+def _build_fp_stack(model, norm, dtype, rngs):
+    """The shared fp3/fp2/fp1 decoder stack for the SSG encoder's
+    (128, 256, 1024) feature hierarchy."""
+    model.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
+                                 dtype=dtype, rngs=rngs)
+    model.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
+                                 dtype=dtype, rngs=rngs)
+    model.fp1 = PointNetFPModule(128, [128, 128], norm=norm, dtype=dtype,
+                                 rngs=rngs)
+
+
+def _fp_decode(model, x0, x1, x2, x3, f1, f2, f3):
+    """Shared FP-decoder wiring (autoencoder + semseg): three FP stages
+    back up the SA hierarchy, honoring ``model.remat``."""
+    call = _remat_call if model.remat else (lambda m, *a: m(*a))
+    g2 = call(model.fp3, x2, x3, f2, f3)  # x3 is [B,1,3]: global bcast
+    g1 = call(model.fp2, x1, x2, f1, g2)
+    return call(model.fp1, x0, x1, None, g1)
+
+
 class PointNet2Encoder(nnx.Module):
     """3-level SA hierarchy -> per-level features + global code."""
 
@@ -55,15 +80,10 @@ class PointNet2Encoder(nnx.Module):
         )
 
     def __call__(self, xyz, mask=None):
-        if self.remat:
-            sa = nnx.remat(lambda m, *a: m(*a))
-            xyz1, f1 = sa(self.sa1, xyz, None, mask)
-            xyz2, f2 = sa(self.sa2, xyz1, f1)
-            xyz3, f3 = sa(self.sa3, xyz2, f2)
-        else:
-            xyz1, f1 = self.sa1(xyz, None, mask=mask)
-            xyz2, f2 = self.sa2(xyz1, f1)
-            xyz3, f3 = self.sa3(xyz2, f2)
+        call = _remat_call if self.remat else (lambda m, *a: m(*a))
+        xyz1, f1 = call(self.sa1, xyz, None, mask)
+        xyz2, f2 = call(self.sa2, xyz1, f1)
+        xyz3, f3 = call(self.sa3, xyz2, f2)
         return (xyz, xyz1, xyz2, xyz3), (None, f1, f2, f3)
 
 
@@ -84,26 +104,13 @@ class PointCloudAutoencoder(nnx.Module):
         self.remat = remat
         self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
                                         dtype=dtype, remat=remat, rngs=rngs)
-        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
-                                    dtype=dtype, rngs=rngs)
-        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
-                                    dtype=dtype, rngs=rngs)
-        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, dtype=dtype,
-                                    rngs=rngs)
+        _build_fp_stack(self, norm, dtype, rngs)
         self.head = SharedMLP([128, 64, 3], act_last=False, norm=norm,
                               dtype=dtype, rngs=rngs)
 
     def __call__(self, xyz, mask=None):
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
-        if self.remat:
-            fp = nnx.remat(lambda m, *a: m(*a))
-            g2 = fp(self.fp3, x2, x3, f2, f3)
-            g1 = fp(self.fp2, x1, x2, f1, g2)
-            g0 = fp(self.fp1, x0, x1, None, g1)
-        else:
-            g2 = self.fp3(x2, x3, f2, f3)  # x3 is [B,1,3]: global broadcast
-            g1 = self.fp2(x1, x2, f1, g2)
-            g0 = self.fp1(x0, x1, None, g1)
+        g0 = _fp_decode(self, x0, x1, x2, x3, f1, f2, f3)
         offsets = self.head(g0)
         pred = xyz + offsets
         if mask is not None:
@@ -139,27 +146,14 @@ class PointNet2SemSeg(nnx.Module):
         self.remat = remat
         self.encoder = PointNet2Encoder(npoint1, npoint2, norm=norm,
                                         dtype=dtype, remat=remat, rngs=rngs)
-        self.fp3 = PointNetFPModule(1024 + 256, [256, 256], norm=norm,
-                                    dtype=dtype, rngs=rngs)
-        self.fp2 = PointNetFPModule(256 + 128, [256, 128], norm=norm,
-                                    dtype=dtype, rngs=rngs)
-        self.fp1 = PointNetFPModule(128, [128, 128], norm=norm, dtype=dtype,
-                                    rngs=rngs)
+        _build_fp_stack(self, norm, dtype, rngs)
         self.head = SharedMLP([128, 128, num_classes], act_last=False,
                               norm=norm, dtype=dtype, rngs=rngs)
 
     def __call__(self, xyz, mask=None):
         """[B, N, 3] -> per-point logits [B, N, num_classes]."""
         (x0, x1, x2, x3), (_, f1, f2, f3) = self.encoder(xyz, mask=mask)
-        if self.remat:
-            fp = nnx.remat(lambda m, *a: m(*a))
-            g2 = fp(self.fp3, x2, x3, f2, f3)
-            g1 = fp(self.fp2, x1, x2, f1, g2)
-            g0 = fp(self.fp1, x0, x1, None, g1)
-        else:
-            g2 = self.fp3(x2, x3, f2, f3)
-            g1 = self.fp2(x1, x2, f1, g2)
-            g0 = self.fp1(x0, x1, None, g1)
+        g0 = _fp_decode(self, x0, x1, x2, x3, f1, f2, f3)
         logits = self.head(g0)
         if mask is not None:
             logits = jnp.where(mask[..., None], logits, 0.0)

@@ -15,6 +15,9 @@ from pytorch_points_tpu.layers import DenseEdgeConv, SharedMLP
 
 
 class PointUpsampler(nnx.Module):
+    """3PU-style upsampler: DenseEdgeConv features, ratio-r point-shuffle
+    expansion with learned grid codes, residual coordinate regression."""
+
     def __init__(
         self,
         ratio: int = 4,

@@ -708,3 +708,23 @@ def test_torch_bridge(rng):
             h = torch.relu(bn(c(h)))
     want = np.swapaxes(h.numpy(), 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # act_last=False (conv-bn-relu...conv head): one BN state per REAL
+    # norm layer imports cleanly
+    head = SharedMLP([3, 8, 4], norm="batch", act_last=False,
+                     rngs=nnx.Rngs(0))
+    tb.load_shared_mlp_from_torch(
+        head,
+        [c.weight for c in convs],
+        [c.bias for c in convs],
+        [{"weight": bns[0].weight, "bias": bns[0].bias,
+          "running_mean": bns[0].running_mean,
+          "running_var": bns[0].running_var}],
+    )
+    head.eval()
+    got2 = np.asarray(_jax.jit(head)(jnp.asarray(x)))
+    with torch.no_grad():
+        h2 = convs[1](torch.relu(bns[0](convs[0](xt))))
+    np.testing.assert_allclose(
+        got2, np.swapaxes(h2.numpy(), 1, 2), rtol=1e-4, atol=1e-5
+    )
