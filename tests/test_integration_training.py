@@ -139,3 +139,38 @@ def test_trainer_fit_prefetches_by_default(rng):
     threads.clear()
     tr.fit(gen(2), steps=4, prefetch=None)
     assert threads and all(t is threading.main_thread() for t in threads)
+
+
+def test_file_io_examples_smoke(tmp_path, monkeypatch, rng):
+    """upsample_cloud / render_cloud / export_and_serve examples run end
+    to end at tiny scale (SURVEY.md §3.2 P10 example-surface tier).
+
+    deform_with_cage is excluded: its 200-step convergence fit is covered
+    by the dedicated cage tests."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import export_and_serve as ex_serve
+    import render_cloud as ex_render
+    import upsample_cloud as ex_up
+    from pytorch_points_tpu.utils import pc_utils
+
+    cloud = tmp_path / "in.ply"
+    pc_utils.save_ply(
+        rng.standard_normal((64, 3)).astype(np.float32), cloud
+    )
+
+    up_out = tmp_path / "up.ply"
+    monkeypatch.setattr(sys, "argv", ["x", str(cloud), str(up_out)])
+    ex_up.main()
+    assert pc_utils.read_ply(up_out).shape == (256, 3)
+
+    img_out = tmp_path / "img.png"
+    monkeypatch.setattr(sys, "argv", ["x", str(cloud), str(img_out), "64"])
+    ex_render.main()
+    assert img_out.exists() or (tmp_path / "img.ppm").exists()
+
+    monkeypatch.setattr(
+        sys, "argv", ["x", "--steps", "2", "--n", "128", "--batch", "2"]
+    )
+    ex_serve.main()
