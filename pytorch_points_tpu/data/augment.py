@@ -53,10 +53,16 @@ def rotate(key, xyz, normals=None, axis: str = "y", mask=None):
     b = xyz.shape[0]
     angle = jax.random.uniform(key, (b,), xyz.dtype, 0.0, 2.0 * jnp.pi)
     rot = _axis_rotations(angle, axis)  # [B, 3, 3]
-    out = _apply_masked(xyz, jnp.einsum("bnj,bij->bni", xyz, rot), mask)
+    # Full-precision contraction: TPU's default bf16 matmul loses ~1e-2
+    # relative on the rotated coordinates, which breaks the op's
+    # length-preservation contract.  The op is [B,N,3]x[B,3,3] — tiny.
+    hi = jax.lax.Precision.HIGHEST
+    out = _apply_masked(
+        xyz, jnp.einsum("bnj,bij->bni", xyz, rot, precision=hi), mask
+    )
     if normals is None:
         return out
-    nrm = jnp.einsum("bnj,bij->bni", normals, rot)
+    nrm = jnp.einsum("bnj,bij->bni", normals, rot, precision=hi)
     return out, _apply_masked(normals, nrm, mask)
 
 

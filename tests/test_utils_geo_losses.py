@@ -698,7 +698,10 @@ def test_torch_bridge(rng):
     mlp.eval()  # use imported running stats
 
     x = rng.standard_normal((2, 16, 3)).astype(np.float32)
-    got = np.asarray(_jax.jit(mlp)(jnp.asarray(x)))
+    # The oracle is torch f32; run the jax side at full matmul precision
+    # so the comparison tests weight IMPORT, not TPU bf16 rounding.
+    with _jax.default_matmul_precision("highest"):
+        got = np.asarray(_jax.jit(mlp)(jnp.asarray(x)))
 
     xt = torch.from_numpy(np.swapaxes(x, 1, 2))  # [B, C, N]
     with torch.no_grad():
@@ -722,7 +725,8 @@ def test_torch_bridge(rng):
           "running_var": bns[0].running_var}],
     )
     head.eval()
-    got2 = np.asarray(_jax.jit(head)(jnp.asarray(x)))
+    with _jax.default_matmul_precision("highest"):
+        got2 = np.asarray(_jax.jit(head)(jnp.asarray(x)))
     with torch.no_grad():
         h2 = convs[1](torch.relu(bns[0](convs[0](xt))))
     np.testing.assert_allclose(
