@@ -38,8 +38,11 @@ def scatter_add_auto(idx, updates, n: int, impl: str = "auto"):
         from pytorch_points_tpu.kernels.scatter import scatter_add_csum_t
 
         # lane-major formulation: 3.6x the original kernel (2.1 vs 7.6 ms
-        # per 2M updates into [32,16384,3]), bit-identical results
-        return scatter_add_csum_t(idx, updates, n)
+        # per 2M updates into [32,16384,3]), bit-identical results.  The
+        # kernel accumulates in f32; restore the caller's dtype so bf16
+        # custom_vjp backwards return bf16 cotangents (dtype mismatch
+        # here is a hard error under value_and_grad).
+        return scatter_add_csum_t(idx, updates, n).astype(updates.dtype)
     b, k = idx.shape
     c = updates.shape[-1]
     # One-hot MXU contraction when the [B,K,n] plane is cheap: XLA's TPU
@@ -56,7 +59,8 @@ def scatter_add_auto(idx, updates, n: int, impl: str = "auto"):
         return jnp.einsum(
             "bkm,bkc->bmc", onehot, updates,
             precision=jax.lax.Precision.HIGHEST,
-        )
+            preferred_element_type=jnp.float32,
+        ).astype(updates.dtype)
     # Row-form indexed add (window over C): one scatter row per update,
     # never the element-wise lowering.
     out = jnp.zeros((b, n, c), updates.dtype)

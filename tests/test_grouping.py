@@ -83,6 +83,35 @@ def test_group_points_grad_scatter_add(rng):
     np.testing.assert_allclose(g, want, rtol=1e-6)
 
 
+def test_group_points_grad_bf16_pallas_dtype(rng):
+    """bf16 features through the Pallas scatter backward must yield bf16
+    cotangents (regression: the lane-major kernel accumulates in f32 and
+    returned f32, a hard custom_vjp dtype error under value_and_grad on
+    TPU — only reachable at >=4096 updates with impl=pallas, so the CPU
+    suite never dispatched it; bench config5b crashed)."""
+    from pytorch_points_tpu.kernels import dispatch
+
+    feats = jnp.asarray(
+        rng.standard_normal((1, 64, 4), dtype=np.float32), jnp.bfloat16
+    )
+    idx = jnp.asarray(rng.integers(0, 64, size=(1, 1024, 4)), jnp.int32)
+
+    def loss(f):
+        return jnp.sum(group_points(f, idx).astype(jnp.float32))
+
+    dispatch.force_impl("pallas")
+    try:
+        g = jax.grad(loss)(feats)
+    finally:
+        dispatch.force_impl(None)
+    assert g.dtype == jnp.bfloat16
+    g_xla = jax.grad(loss)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32), np.asarray(g_xla, np.float32),
+        rtol=0.02, atol=0.5,
+    )
+
+
 def test_group_knn_composite(rng):
     q = rng.standard_normal((2, 10, 3), dtype=np.float32)
     s = rng.standard_normal((2, 30, 3), dtype=np.float32)
