@@ -4,6 +4,15 @@ vs the indexed path, at the graded headline shape B=32 N=16k.
 ROADMAP round-4 candidate 1: the round-2 "loss-only measured equal" note
 predates the 4x-unrolled resident kernel + lane-aligned cand mask, so the
 relative weight of the tie payload + un-permute scatters has grown.
+
+OUTCOME (2026-08-19, v5e): this tie_orig=False form LOSES net — fwd
+-0.93 ms but fwd+bwd +0.39 ms: the backward's two take_along_axis
+perm-composition gathers cost more than the dropped payload saves.
+CAVEAT: by the time this ran, ops/chamfer.py already dispatched
+chamfer_distance to a loss-only path, so "cur" here is NOT the indexed
+baseline — see bench/probe_r4_lossonly_h.py for the clean comparison
+(indexed 23.26 ms fwd+bwd vs hybrid 22.71).  The hybrid (tie_orig=True,
+no un-permute, direct original-space scatters) is what shipped.
 """
 
 import os
@@ -69,15 +78,20 @@ def main():
 
     def loss_new(p):
         s1, s2 = chamfer_sums_sorted(p, q)
-        return jnp.mean(s1 / N + s2 / N)
+        # per-cloud sizes (shape-general: mean = s1/N + s2/M, advisor r3)
+        return jnp.mean(s1 / p.shape[1] + s2 / q.shape[1])
 
     lc, gc = jax.jit(jax.value_and_grad(loss_cur))(p)
     ln, gn = jax.jit(jax.value_and_grad(loss_new))(p)
-    print("loss cur/new", float(lc), float(ln), "rel",
-          abs(float(lc - ln)) / abs(float(lc)))
+    rel = abs(float(lc - ln)) / abs(float(lc))
+    print("loss cur/new", float(lc), float(ln), "rel", rel)
     gd = float(jnp.max(jnp.abs(gc - gn)))
     gs = float(jnp.max(jnp.abs(gc)))
     print("grad maxabsdiff", gd, "scale", gs)
+    # fail loudly on numerical divergence (advisor r3): sum-order may move
+    # the loss in low bits; grads must agree up to tie-equivalent scatters.
+    assert rel < 1e-6, f"loss rel diff {rel} too large"
+    assert gd <= 1e-5 * max(gs, 1e-30), f"grad diff {gd} vs scale {gs}"
 
     for name, f in (
         ("cur fwd", jax.jit(loss_cur)),

@@ -794,6 +794,121 @@ def worklist_stats(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
+def nndistance_sums(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
+                    tb: int = 512):
+    """Loss-only twin of :func:`nndistance_indexed`: per-cloud SUMS of
+    the bidirectional NN distances, plus the ORIGINAL-space argmin
+    indices and sort artifacts the chamfer VJP needs — with NO row
+    un-permute.  Sums are permutation-invariant, so the two [B, N, 2]
+    parts=3 permutation scatters of the indexed path are pure overhead
+    for mean/sum consumers: dropping them measured -1.69 ms fwd /
+    -0.55 ms fwd+bwd at B=32 N=16k (bench/probe_r4_lossonly_h.py).
+    The tie_orig=True payload stays — the kernel emits original-space
+    indices directly, so the backward scatters straight at them (the
+    tie_orig=False variant re-composed indices with two
+    take_along_axis gathers in the backward and measured +0.39 ms
+    NET — negative ledger, BASELINE.md).
+
+    Returns ``(s1 [B], s2 [B], i1o [B,N], i2o [B,M], rows_p, rows_q,
+    tgt_p, tgt_q)``: ``i1o[b, r]`` is the ORIGINAL q-index nearest to
+    row r of ``rows_p`` (the Morton-sorted p cloud); ``tgt_p`` maps
+    each ``rows_p`` row to its original position (the sort
+    permutation).  On budget overflow the dense kernel serves the
+    call with ``rows_* = inputs`` and identity targets — the same
+    contract, trivially.
+    """
+    p = jnp.asarray(p, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    b, n, _ = p.shape
+    m = q.shape[1]
+    ps, perm_p = sort_by_morton(p)
+    qs, perm_q = sort_by_morton(q)
+
+    align = max(tn, tm, tb)
+    n_pad = _round_up(n, align)
+    m_pad = _round_up(m, align)
+    ps4 = jnp.concatenate([ps, perm_p[..., None].astype(jnp.float32)], -1)
+    qs4 = jnp.concatenate([qs, perm_q[..., None].astype(jnp.float32)], -1)
+    pp = _pad_points_poison(ps4, n_pad)
+    qp = _pad_points_poison_neg(qs4, m_pad)
+
+    d_ub1 = band_min(pp, qp, tb=tb, tbq=128, stride=4)
+    d_ub2 = band_min(qp, pp, tb=tb, tbq=128, stride=4)
+    cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
+    cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
+
+    def one_dir(cand, rows, cols):
+        ni, nj = cand.shape[1], cand.shape[2]
+        k_max = min(ni * nj, int(_BUDGET_FRAC * ni * nj) + ni)
+        pairs, count = _compact_pairs(cand, k_max)
+        d, i = _run_resident(pairs, jnp.minimum(count, k_max), rows, cols,
+                             tn, tm, tie_orig=True)
+        return d, i, jnp.any(count > k_max)
+
+    d1s, i1s, ovf1 = one_dir(cand1, pp, qp)
+    d2s, i2s, ovf2 = one_dir(cand2, qp, pp)
+
+    def from_resident(_):
+        return (jnp.sum(d1s[:, :n], -1), jnp.sum(d2s[:, :m], -1),
+                i1s[:, :n], i2s[:, :m], ps, qs, perm_p, perm_q)
+
+    def dense(_):
+        _log_fallback("nndistance_sums")
+        d1, i1, d2, i2 = nn_both_directions(p, q)
+        iota_n = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        iota_m = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+        return (jnp.sum(d1, -1), jnp.sum(d2, -1), i1, i2, p, q,
+                iota_n, iota_m)
+
+    return jax.lax.cond(jnp.logical_or(ovf1, ovf2), dense, from_resident,
+                        None)
+
+
+def worklist_stats_masked(p, q, p_mask, q_mask, tn: int = 512, tm: int = 64,
+                          ft: int = 64, tb: int = 512):
+    """Telemetry twin of :func:`nndistance_indexed_masked`'s dispatch
+    arithmetic (valid-AABB sort, poison-last, dynamic band centers) —
+    candidate counts / occupancy / overflow for a masked call.  Takes the
+    PUBLIC mask form (bool masks, not poisoned clouds); bench-only cost."""
+    from pytorch_points_tpu.core.masking import poison_points
+
+    p = poison_points(jnp.asarray(p, jnp.float32), p_mask, sign=1.0)
+    q = poison_points(jnp.asarray(q, jnp.float32), q_mask, sign=-1.0)
+    n, m = p.shape[1], q.shape[1]
+    pv = p_mask if p_mask is not None else jnp.ones(p.shape[:2], bool)
+    qv = q_mask if q_mask is not None else jnp.ones(q.shape[:2], bool)
+    ps, _, pvs = sort_by_morton_masked(p, pv)
+    qs, _, qvs = sort_by_morton_masked(q, qv)
+    align = max(tn, tm, tb)
+    n_pad = _round_up(n, align)
+    m_pad = _round_up(m, align)
+    pp = _pad_points_poison(ps, n_pad)
+    qp = _pad_points_poison_neg(qs, m_pad)
+    pvs = jnp.pad(pvs, ((0, 0), (0, n_pad - n)))
+    qvs = jnp.pad(qvs, ((0, 0), (0, m_pad - m)))
+    vp = jnp.sum(pv, axis=1).astype(jnp.int32)
+    vq = jnp.sum(qv, axis=1).astype(jnp.int32)
+    c1 = _band_centers(vp, vq, n_pad // tb, m_pad // tb, tb)
+    c2 = _band_centers(vq, vp, m_pad // tb, n_pad // tb, tb)
+    d_ub1 = jnp.where(pvs, band_min_dynamic(pp, qp, c1, tb=tb), -1.0)
+    d_ub2 = jnp.where(qvs, band_min_dynamic(qp, pp, c2, tb=tb), -1.0)
+    cand1 = _cand_mask(pp, qp, d_ub1, ft, tn, tm)
+    cand2 = _cand_mask(qp, pp, d_ub2, ft, tn, tm)
+    ni, nj = cand1.shape[1], cand1.shape[2]
+    k_max = min(ni * nj, int(_BUDGET_FRAC * ni * nj) + ni)
+    cc1 = jnp.sum(cand1.reshape(cand1.shape[0], -1), axis=1)
+    cc2 = jnp.sum(cand2.reshape(cand2.shape[0], -1), axis=1)
+    return {
+        "count1": cc1,
+        "count2": cc2,
+        "k_max": k_max,
+        "occupancy": jnp.maximum(jnp.max(cc1), jnp.max(cc2)) / k_max,
+        "overflow": jnp.logical_or(jnp.any(cc1 > k_max),
+                                   jnp.any(cc2 > k_max)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "ft", "tb"))
 def nndistance_sorted(p, q, tn: int = 512, tm: int = 64, ft: int = 64,
                       tb: int = 512):
     """Bidirectional NN distances in Morton-sorted space.

@@ -61,26 +61,53 @@ def chamfer_l1(p, q, p_mask=None, q_mask=None):
     return m(d1, p_mask) + m(d2, q_mask)
 
 
-def _cloud_dist_matrix(set_a, set_b, metric: str, emd_kwargs):
-    """[A,N,3] x [B,N,3] -> [A,B] pairwise cloud distances."""
+def _pair_dists_batched(lhs, rhs, ia, ib, metric: str, emd_kwargs,
+                        pair_batch: int):
+    """Cloud distances for index pairs (ia[k], ib[k]) into lhs/rhs: [P].
+
+    The pair solves run as REAL [pair_batch, N, 3] batches (lax.map over
+    chunks), not vmapped [1, N] calls: the chamfer/EMD kernels tile their
+    batch dimension onto the TPU grid, so a full batch plane is the unit
+    of efficiency — at literature scale (G=R=64 clouds of N=2048 -> 8128
+    union pairs for 1-NNA) the batched form is what makes the metric
+    minutes-to-seconds viable (round-3 verdict item 6).
+    """
     import jax
 
-    def pair_dist(a, b):  # [n,3],[n,3] -> scalar
-        if metric == "emd":
-            dist, _ = earth_mover_distance(
-                a[None], b[None], **(emd_kwargs or {})
-            )
-            return jnp.mean(dist)
-        d1, _, d2, _ = nndistance(a[None], b[None])
-        return jnp.mean(d1) + jnp.mean(d2)
+    p = ia.shape[0]
+    pb = max(1, min(pair_batch, p))
+    nchunk = -(-p // pb)
+    pad = nchunk * pb - p
+    ia = jnp.pad(ia, (0, pad)).reshape(nchunk, pb)
+    ib = jnp.pad(ib, (0, pad)).reshape(nchunk, pb)
 
-    return jax.vmap(
-        lambda a: jax.vmap(lambda b: pair_dist(a, b))(set_b)
-    )(set_a)
+    def solve(chunk):
+        ic, jc = chunk
+        a = jnp.take(lhs, ic, axis=0)  # [pb, N, 3]
+        b = jnp.take(rhs, jc, axis=0)
+        if metric == "emd":
+            dist, _ = earth_mover_distance(a, b, **(emd_kwargs or {}))
+            return jnp.mean(dist, axis=-1)
+        d1, _, d2, _ = nndistance(a, b)
+        return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+
+    d = jax.lax.map(solve, (ia, ib))  # [nchunk, pb]
+    return d.reshape(-1)[:p]
+
+
+def _cloud_dist_matrix(set_a, set_b, metric: str, emd_kwargs,
+                       pair_batch: int = 32):
+    """[A,N,3] x [B,N,3] -> [A,B] pairwise cloud distances."""
+    a, b = set_a.shape[0], set_b.shape[0]
+    ia = jnp.repeat(jnp.arange(a), b)
+    ib = jnp.tile(jnp.arange(b), a)
+    d = _pair_dists_batched(set_a, set_b, ia, ib, metric, emd_kwargs,
+                            pair_batch)
+    return d.reshape(a, b)
 
 
 def one_nn_accuracy(generated, reference_set, *, metric: str = "chamfer",
-                    emd_kwargs=None):
+                    emd_kwargs=None, pair_batch: int = 32):
     """1-NNA two-sample test (Lopez-Paz & Oquab; standard for point-cloud
     generators): classify each cloud of the union by its nearest OTHER
     cloud's set; the accuracy is ~0.5 when generated and reference are
@@ -91,24 +118,14 @@ def one_nn_accuracy(generated, reference_set, *, metric: str = "chamfer",
 
     Returns: scalar accuracy in [0, 1].
     """
-    import jax
-
     g, r = generated.shape[0], reference_set.shape[0]
     both = jnp.concatenate([generated, reference_set], axis=0)
     n = g + r
     # the cloud metric is (near-)symmetric: solve only the strict upper
     # triangle and mirror — half the chamfer/EMD solves, no self-pairs.
     iu, ju = jnp.triu_indices(n, k=1)
-
-    def pair_dist(i, j):
-        a, b = both[i][None], both[j][None]
-        if metric == "emd":
-            dist, _ = earth_mover_distance(a, b, **(emd_kwargs or {}))
-            return jnp.mean(dist)
-        d1, _, d2, _ = nndistance(a, b)
-        return jnp.mean(d1) + jnp.mean(d2)
-
-    d = jax.vmap(pair_dist)(iu, ju)
+    d = _pair_dists_batched(both, both, jnp.asarray(iu), jnp.asarray(ju),
+                            metric, emd_kwargs, pair_batch)
     dmat = jnp.full((n, n), jnp.inf).at[iu, ju].set(d).at[ju, iu].set(d)
     nn = jnp.argmin(dmat, axis=1)
     is_gen = jnp.arange(g + r) < g
@@ -117,7 +134,7 @@ def one_nn_accuracy(generated, reference_set, *, metric: str = "chamfer",
 
 
 def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
-                     emd_kwargs=None):
+                     emd_kwargs=None, pair_batch: int = 32):
     """Set-level generative metrics (Achlioptas et al.).
 
     Args:
@@ -133,8 +150,9 @@ def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
     """
     g, r = generated.shape[0], reference_set.shape[0]
 
-    # [G, R] pairwise cloud distances (vmap over both sets)
-    dmat = _cloud_dist_matrix(generated, reference_set, metric, emd_kwargs)
+    # [G, R] pairwise cloud distances, solved in real batch planes
+    dmat = _cloud_dist_matrix(generated, reference_set, metric, emd_kwargs,
+                              pair_batch)
     nearest_ref = jnp.argmin(dmat, axis=1)  # per generated cloud
     covered = jnp.zeros((r,), bool).at[nearest_ref].set(True)
     coverage = jnp.mean(covered.astype(jnp.float32))

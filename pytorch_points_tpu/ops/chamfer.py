@@ -184,13 +184,16 @@ def _use_sorted_path(p, q, p_mask, q_mask, impl):
     return p_mask is None and q_mask is None and _sorted_size_ok(p, q, impl)
 
 
-def chamfer_path(p, q, p_mask=None, q_mask=None, impl: str = "auto") -> str:
+def chamfer_path(p, q, p_mask=None, q_mask=None, impl: str = "auto",
+                 reduction: str = "none") -> str:
     """Telemetry: which kernel serves a chamfer/nndistance call with these
-    arguments — "sorted" (Morton-pruned), "sorted_masked", "dense-pallas"
-    or "xla".  Silent perf cliffs (e.g. a shape dropping below the sorted
-    threshold) become visible in bench output via this marker; the
-    runtime budget-overflow fallback inside the sorted kernels logs
-    itself via jax.debug.print (kernels/nn_sorted.py)."""
+    arguments — "sorted_loss" (Morton-pruned, no tie payload / un-permute:
+    the mean/sum chamfer_distance path), "sorted" (Morton-pruned indexed),
+    "sorted_masked", "dense-pallas" or "xla".  Silent perf cliffs (e.g. a
+    shape dropping below the sorted threshold) become visible in bench
+    output via this marker; the runtime budget-overflow fallback inside
+    the sorted kernels logs itself via jax.debug.print
+    (kernels/nn_sorted.py)."""
     p = jnp.asarray(p)
     q = jnp.asarray(q)
     if dispatch.resolve(impl, "chamfer") != "pallas":
@@ -198,8 +201,70 @@ def chamfer_path(p, q, p_mask=None, q_mask=None, impl: str = "auto") -> str:
     if not _sorted_size_ok(p, q, impl):
         return "dense-pallas"
     if p_mask is None and q_mask is None:
+        if reduction in ("mean", "sum"):
+            return "sorted_loss"
         return "sorted"
     return "sorted_masked"
+
+
+# ---------------------------------------------------------------------------
+# Loss-only sorted chamfer (mean/sum reductions, unmasked)
+#
+# When only the summed distances are consumed, the indexed kernel's row
+# un-permute (two [B, N, 2] parts=3 permutation scatters) is pure
+# overhead: sums are permutation-invariant.  The resident kernel keeps
+# its tie_orig=True payload — it emits ORIGINAL-space argmin indices
+# directly (reference tie-breaks, so gradients route exactly like the
+# indexed path even on exact ties) — and the backward scatters straight
+# at them, folding each direction's direct + cross term into ONE
+# concatenated [B, N+M] scatter (kernels/nn_sorted.py::nndistance_sums).
+# Measured -1.69 ms fwd / -0.55 ms fwd+bwd at B=32 N=16k
+# (bench/probe_r4_lossonly_h.py); the tie_orig=False variant (no id
+# payload, backward re-composes indices with take_along_axis gathers)
+# measured +0.39 ms NET and is in the negative ledger (BASELINE.md).
+# The indexed path remains the correctness oracle: the loss may differ
+# in f32 sum order (measured 0.0 at bench scale), grads to ~4e-12
+# (tests/test_chamfer_lossonly.py pins the tolerance).
+# ---------------------------------------------------------------------------
+
+
+def _chamfer_sums_fwd(p, q):
+    from pytorch_points_tpu.kernels import nn_sorted
+
+    s1, s2, i1o, i2o, rows_p, rows_q, tgt_p, tgt_q = (
+        nn_sorted.nndistance_sums(p, q)
+    )
+    return (s1, s2), (p, q, i1o, i2o, rows_p, rows_q, tgt_p, tgt_q)
+
+
+@jax.custom_vjp
+def _chamfer_sums_sorted(p, q):
+    """Per-cloud summed bidirectional NN distances (s1 [B], s2 [B])."""
+    return _chamfer_sums_fwd(p, q)[0]
+
+
+def _chamfer_sums_bwd(res, g):
+    from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
+
+    p, q, i1o, i2o, rows_p, rows_q, tgt_p, tgt_q = res
+    g1, g2 = g
+    # rows in sorted space, NN partner gathered from the ORIGINAL cloud
+    # (the kernel's indices are original-space).
+    diff1 = rows_p - _row_gather(q, i1o)  # [B,N,3]
+    diff2 = rows_q - _row_gather(p, i2o)  # [B,M,3]
+    u1 = 2.0 * g1[:, None, None] * diff1
+    u2 = 2.0 * g2[:, None, None] * diff2
+    n, m = p.shape[1], q.shape[1]
+    # direct term un-permutes via its sort-target rows, cross term lands
+    # at the kernel's original-space indices: one scatter per cloud.
+    gp = scatter_add_auto(jnp.concatenate([tgt_p, i2o], 1),
+                          jnp.concatenate([u1, -u2], 1), n)
+    gq = scatter_add_auto(jnp.concatenate([tgt_q, i1o], 1),
+                          jnp.concatenate([u2, -u1], 1), m)
+    return gp, gq
+
+
+_chamfer_sums_sorted.defvjp(_chamfer_sums_fwd, _chamfer_sums_bwd)
 
 
 def chamfer_distance(
@@ -225,6 +290,21 @@ def chamfer_distance(
     """
     p = jnp.asarray(p)
     q = jnp.asarray(q)
+    if (
+        reduction in ("mean", "sum")
+        and p_mask is None
+        and q_mask is None
+        and _use_sorted_path(p, q, None, None, impl)
+    ):
+        # mean/sum with no index consumer: skip the tie payload and the
+        # un-permute scatters entirely (loss-only sorted path above).
+        with jax.named_scope("ppt.chamfer_loss_sorted"):
+            s1, s2 = _chamfer_sums_sorted(p, q)
+        if reduction == "mean":
+            l1, l2 = s1 / p.shape[1], s2 / q.shape[1]
+        else:
+            l1, l2 = s1, s2
+        return jnp.mean(l1) if one_sided else jnp.mean(l1 + l2)
     # nndistance dispatches to the Morton-pruned indexed kernel at large N
     # (masked or not) — one shared fast path for loss, per-point and index
     # consumers alike.

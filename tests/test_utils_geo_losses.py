@@ -422,6 +422,34 @@ def test_metrics(rng):
     assert acc <= 0.5
 
 
+def test_metric_pair_batching_matches_per_pair(rng):
+    """The chunked [pb,N,3] pair solver must equal one-at-a-time solves
+    (incl. ragged final chunk) — the literature-scale path is just a
+    batching of the same kernel calls."""
+    from pytorch_points_tpu.losses.metrics import _pair_dists_batched
+    from pytorch_points_tpu.ops import earth_mover_distance, nndistance
+
+    gen = jnp.asarray(rng.standard_normal((5, 48, 3)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((3, 48, 3)), jnp.float32)
+    ia = jnp.repeat(jnp.arange(5), 3)
+    ib = jnp.tile(jnp.arange(3), 5)  # 15 pairs, pair_batch=4 -> ragged tail
+
+    got = _pair_dists_batched(gen, ref, ia, ib, "chamfer", None, 4)
+    want = []
+    for i, j in zip(np.asarray(ia), np.asarray(ib)):
+        d1, _, d2, _ = nndistance(gen[i][None], ref[j][None])
+        want.append(float(jnp.mean(d1) + jnp.mean(d2)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    got_e = _pair_dists_batched(gen, ref, ia, ib, "emd", None, 4)
+    want_e = []
+    for i, j in zip(np.asarray(ia), np.asarray(ib)):
+        dist, _ = earth_mover_distance(gen[i][None], ref[j][None])
+        want_e.append(float(jnp.mean(dist)))
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=1e-5)
+
+
 # ---------------------------------------------------------------- splatting
 
 
