@@ -81,62 +81,53 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _gather_kernel_t(idx_ref, f2_ref, out_ref, *, h, c_dim, tk):
-    """Transposed twin of _gather_kernel: every intermediate keeps tK on
-    the LANE axis, so the [tK, C*H] sublane-major plane and the 3-lane
-    output block (42x lane-padding write amplification) disappear.
+def _gather_kernel_t(idx_ref, f3_ref, out_ref, *, h, c_dim, tk):
+    """Lane-major gather, h-select-matmul form.
 
-    out_T[c, k] = sum_l f2_T[c*H + h_k, l] ... computed as
-    p_T = f2_T @ bl_T with bl_T[l, k] one-hot in lanes.
+    Per channel: ``gsel = F_c^T[L, H] @ onehotH[H, tK]`` pulls the
+    whole 128-row block containing each index (one matmul per bf16
+    part), then the l-selection is ONE elementwise multiply by the lo
+    one-hot + a sublane reduce.  Compared to the earlier form (big
+    [C*H, tK] f32 plane holding every (c, h) pair, masked by a repeated
+    h-selector, folded with extra matmuls): same MAC count, but the
+    widest VPU plane shrinks from [C*H, tK] to [L, tK] and the fold
+    matmuls disappear — measured 5.78 -> 3.49 ms at C=3 / 2.1M rows,
+    29.5 -> 18.0 at C=16, bitwise equal (bench/probe_r4_gather.py).
+
+    Exactness: the one-hot factors are exact in bf16; the feature table
+    is 3-way bf16 split (Dekker), so gsel reconstructs each f32 value
+    exactly; the l-dot has exactly one nonzero term per column.
     """
     idx = idx_ref[0]  # [1, tK] lane-major indices
     hi = idx // _L
     lo = idx - hi * _L
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_L, tk), 0)
-    bl_t = (lo == sub).astype(jnp.bfloat16)  # [L, tK] exact one-hot
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, tk), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_L, tk), 0)
+    a_t = (hi == iota_h).astype(jnp.bfloat16)  # [H, tK] exact
+    bl_t = (lo == iota_l).astype(jnp.float32)  # [L, tK]
 
-    f2t = f2_ref[0]  # [C*H, L] f32 (c-major rows)
-    f_hi = f2t.astype(jnp.bfloat16)
-    r1 = f2t - f_hi.astype(jnp.float32)
-    f_mid = r1.astype(jnp.bfloat16)
-    f_lo = (r1 - f_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    p = (
-        jax.lax.dot_general(f_hi, bl_t, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(f_mid, bl_t, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(f_lo, bl_t, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    )  # [C*H, tK]: column k holds rows lo_k of every (c, h) pair
-
-    # keep only h == hi_k, then fold over h per channel with a fixed
-    # one-hot matmul T[c, c*H + h] = [c == c'] (exact in bf16).
-    hsub = jax.lax.broadcasted_iota(jnp.int32, (h, tk), 0)
-    sel_h = (hi == hsub).astype(jnp.float32)  # [H, tK]
-    sel_rep = pltpu.repeat(sel_h, c_dim, axis=0)  # [C*H, tK] c-major tiling
-    prod = p * sel_rep  # one nonzero h per (c, k)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (c_dim, h * c_dim), 0)
-    hc = jax.lax.broadcasted_iota(jnp.int32, (c_dim, h * c_dim), 1)
-    fold = (hc // h == cc).astype(jnp.bfloat16)  # [C, C*H] exact
-    p_hi = prod.astype(jnp.bfloat16)
-    r = prod - p_hi.astype(jnp.float32)
-    p_mid = r.astype(jnp.bfloat16)
-    p_lo = (r - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = sum(
-        jax.lax.dot_general(
-            fold, part, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for part in (p_hi, p_mid, p_lo)
-    )  # [C, tK]; exactly one nonzero per (c, k)
-    out_ref[0] = out
+    for c in range(c_dim):
+        ft = f3_ref[0, c]  # [L, H] f32: ft[l, h] = feat[h*128 + l, c]
+        f_hi = ft.astype(jnp.bfloat16)
+        r = ft - f_hi.astype(jnp.float32)
+        f_mid = r.astype(jnp.bfloat16)
+        f_lo = (r - f_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        gsel = (
+            jax.lax.dot_general(f_hi, a_t, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(f_mid, a_t, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(f_lo, a_t, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        )  # [L, tK] f32 — column k = feature rows of block hi_k, exact
+        out_ref[0, c] = jnp.sum(gsel * bl_t, axis=0)  # one nonzero per k
 
 
 @functools.partial(jax.jit, static_argnames=("tk",))
 def gather_rows_t(features, idx, tk: int = 2048):
     """Transposed-layout twin of :func:`gather_rows` (same result, lanes
-    carry the row axis throughout — measured ~2x the original kernel)."""
+    carry the row axis throughout; h-select-matmul form — see
+    _gather_kernel_t)."""
     features = jnp.asarray(features, jnp.float32)
     idx = jnp.asarray(idx, jnp.int32)
     b, n, c_dim = features.shape
@@ -147,10 +138,8 @@ def gather_rows_t(features, idx, tk: int = 2048):
     if k_pad != k:
         idx = jnp.pad(idx, ((0, 0), (0, k_pad - k)))
     feat = jnp.pad(features, ((0, 0), (0, n_pad - n), (0, 0)))
-    # c-major transposed table: f2t[c*H + h, l] = feat[h*128 + l, c]
-    f2t = jnp.transpose(
-        feat.reshape(b, h, _L, c_dim), (0, 3, 1, 2)
-    ).reshape(b, c_dim * h, _L)
+    # per-channel [L, H] tables: f3[c, l, h] = feat[h*128 + l, c]
+    f3 = jnp.transpose(feat.reshape(b, h, _L, c_dim), (0, 3, 2, 1))
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel_t, h=h, c_dim=c_dim, tk=tk),
@@ -158,14 +147,14 @@ def gather_rows_t(features, idx, tk: int = 2048):
         in_specs=[
             pl.BlockSpec((1, 1, tk), lambda bi, kc: (bi, 0, kc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_dim * h, _L), lambda bi, kc: (bi, 0, 0),
+            pl.BlockSpec((1, c_dim, _L, h), lambda bi, kc: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c_dim, tk), lambda bi, kc: (bi, 0, kc),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c_dim, k_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * b * k_pad * _L * c_dim * h,
@@ -173,7 +162,7 @@ def gather_rows_t(features, idx, tk: int = 2048):
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(idx[:, None, :], f2t)
+    )(idx[:, None, :], f3)
     return jnp.transpose(out, (0, 2, 1))[:, :k, :]
 
 

@@ -112,8 +112,9 @@ def _maybe_pallas_gather(features, idx_flat):
     ):
         from pytorch_points_tpu.kernels.gather import gather_rows_t
 
-        # transposed-layout kernel: rows stay on the lane axis end to
-        # end, ~2x the original formulation (5.3 vs 10.1 ms / 2M rows C=3)
+        # transposed-layout h-select kernel: rows stay on the lane axis
+        # end to end (3.5 ms / 2.1M rows C=3, was 10.1 -> 5.3 -> 3.5;
+        # bench/probe_r4_gather.py)
         return gather_rows_t(features, idx_flat)
     return None
 
