@@ -294,11 +294,13 @@ def main():
     # --- Config 6: kNN k=16, B=16, N=16k (the DenseEdgeConv front-end;
     # previously in no graded config — round-3 verdict item 4) ----------
     from pytorch_points_tpu.ops import knn
+    from pytorch_points_tpu.ops.grouping import knn_path
 
     f6 = jax.jit(lambda x: knn(x, x, 16))
     details["config6_knn_k16_B16_N16k_ms"] = round(
         measure(f6, x2) * 1e3, 2
     )
+    details["config6_knn_path"] = knn_path(x2, x2, 16)
 
     # --- Config 7: PointUpsampler (3PU lineage: DenseEdgeConv + kNN
     # grouping) train step, B=8 N=2048 -> 8192, chamfer loss -------------

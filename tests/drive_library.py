@@ -112,6 +112,19 @@ if _big:
     assert np.array_equal(np.asarray(md1)[mnp], np.asarray(dd[0])[mnp])
     print("sorted nndistance (unmasked+masked) bitwise vs dense at N=8192 ok")
 
+    # 4b3. round-4 surface: large unmasked kNN rides the Morton-ring
+    # kernel — bitwise against the in-order streaming kernel.
+    from pytorch_points_tpu.kernels import topk_scan
+    from pytorch_points_tpu.ops import knn as knn_op
+    from pytorch_points_tpu.ops.grouping import knn_path
+
+    assert knn_path(pL, pL, 16) == "ring", knn_path(pL, pL, 16)
+    kd, ki = knn_op(pL, pL, 16)
+    sd, si = topk_scan.knn(pL, pL, 16, sorted_ok=False)
+    assert np.array_equal(np.asarray(ki), np.asarray(si))
+    assert np.array_equal(np.asarray(kd), np.asarray(sd))
+    print("ring kNN bitwise vs streaming kernel at N=8192 ok")
+
 # 4b2. round-3 surface: keyed on-device augmentation inside jit.
 from pytorch_points_tpu.data import augment
 

@@ -4,6 +4,8 @@ Runs in interpret mode on the CPU backend; the same tests execute compiled
 on real hardware via PPT_TEST_TPU=1.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -175,6 +177,107 @@ def test_knn_kernel_ties(rng):
     d, i = topk_scan.knn(q, s, 6)
     od, oi = oracles.knn(q, s, 6)
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+@pytest.mark.parametrize("b,nq,ns,k", [(2, 300, 1024, 5), (1, 700, 1024, 16)])
+def test_knn_ring_kernel_matches_oracle(rng, b, nq, ns, k):
+    """Morton-ring kNN: indices identical, distances bitwise vs oracle."""
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((b, nq, 3), dtype=np.float32)
+    s = rng.standard_normal((b, ns, 3), dtype=np.float32)
+    d, i = topk_scan.knn_ring(q, s, k)
+    od, oi = oracles.knn(q, s, k)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, atol=1e-6, rtol=1e-6)
+    # vs the in-order streaming kernel: bitwise (identical diff^2 sums)
+    ds, js = topk_scan.knn(q, s, k, sorted_ok=False)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(ds))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(js))
+
+
+def test_knn_ring_kernel_ties(rng):
+    """Duplicate support points: equal distances resolve to lowest index
+    through the ring kernel's lex emission + buffer tie replacement."""
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((1, 128, 3), dtype=np.float32)
+    base = rng.standard_normal((1, 512, 3), dtype=np.float32)
+    s = np.concatenate([base, base], axis=1)  # every distance duplicated
+    d, i = topk_scan.knn_ring(q, s, 6)
+    od, oi = oracles.knn(q, s, 6)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    ds, js = topk_scan.knn(q, s, 6, sorted_ok=False)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(ds))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(js))
+
+
+def test_knn_tie_eviction_across_chunks():
+    """A tied pair straddling the buffer boundary under later-chunk
+    eviction pressure: the buffer must evict the HIGHER id of the tie
+    (round-4 stream-kernel bug: row-position eviction kept the wrong
+    member; caught by the ring-kernel cross-check at bench scale).
+
+    Layout (tm=512 chunks): ids 0,1 = the same point in chunk 0, the
+    rest of chunk 0 far away; chunk 1 holds SEVEN closer points that
+    arrive later and force seven evictions — the last eviction hits the
+    tied pair and must remove id 1, not id 0.  k=8 == the padded buffer
+    depth so the surviving member is visible in the output slice.
+    """
+    from pytorch_points_tpu.kernels import topk_scan
+
+    s = np.full((1, 1024, 3), 100.0, dtype=np.float32)
+    s[0, 0] = (3.0, 0.0, 0.0)
+    s[0, 1] = (3.0, 0.0, 0.0)  # exact duplicate -> bitwise-tied distance
+    for j in range(7):
+        s[0, 512 + j] = (0.1 * (j + 1), 0.0, 0.0)
+    q = np.zeros((1, 128, 3), dtype=np.float32)
+    d, i = topk_scan.knn(q, s, 8, sorted_ok=False)
+    od, oi = oracles.knn(q, s, 8)
+    assert oi[0, 0].tolist() == [512, 513, 514, 515, 516, 517, 518, 0]
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, rtol=1e-6)
+
+
+def test_knn_ring_dispatch_path():
+    """ops.knn routes unmasked large supports to the ring kernel and
+    masked supports (poison coordinates) to the in-order scan."""
+    from pytorch_points_tpu.ops.grouping import knn_path
+
+    q = jnp.zeros((1, 128, 3))
+    s_small = jnp.zeros((1, 1024, 3))
+    s_big = jnp.zeros((1, 8192, 3))
+    on_tpu = jax.default_backend() == "tpu"
+    assert knn_path(q, s_big, 8) == ("ring" if on_tpu else "xla")
+    assert knn_path(q, s_small, 8) == ("stream" if on_tpu else "xla")
+    mask = jnp.ones((1, 8192), bool)
+    assert knn_path(q, s_big, 8, support_mask=mask) == (
+        "stream" if on_tpu else "xla"
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("PPT_TEST_TPU") != "1",
+    reason="hardware-scale exactness check (ring vs streaming kNN at the "
+    "dispatch threshold is too slow in interpret mode); runs in the "
+    "PPT_TEST_TPU=1 suite",
+)
+def test_knn_ring_bitwise_vs_stream_at_scale(rng):
+    """At the graded config-6 shape the ring kernel must agree bitwise
+    with the in-order streaming kernel (both AABB skip soundness and the
+    increasing-threshold extraction's tie handling only face real
+    pressure at scale)."""
+    from pytorch_points_tpu.kernels import topk_scan
+
+    x = rng.uniform(-1, 1, (4, 16384, 3)).astype(np.float32)
+    x[:, 1000:1128] = x[:, :128]  # forced duplicate ties
+    xs = jnp.asarray(x)
+    d1, i1 = jax.jit(
+        lambda a: topk_scan.knn(a, a, 16, sorted_ok=False)
+    )(xs)
+    d2, i2 = jax.jit(lambda a: topk_scan.knn_ring(a, a, 16))(xs)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
 def test_gather_kernel_bitwise_exact(rng):
