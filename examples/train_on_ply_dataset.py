@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--json-out", type=str, default=None,
                     help="write a convergence artifact (loss curve + "
                     "metrics) to this path")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 mixed-precision policy (f32 params, bf16 "
+                    "MLP compute on the MXU)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each SA/FP stage")
+    ap.add_argument("--emd-weight", type=float, default=0.0,
+                    help="add weighted auction-EMD to the chamfer loss")
     args = ap.parse_args()
 
     import jax
@@ -84,12 +91,22 @@ def main():
 
     from pytorch_points_tpu.models import PointCloudAutoencoder
 
-    model = PointCloudAutoencoder(npoint1=96, npoint2=24, rngs=nnx.Rngs(0))
+    model = PointCloudAutoencoder(
+        npoint1=96, npoint2=24,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        remat=args.remat, rngs=nnx.Rngs(0))
 
     def loss_fn(m, batch):
         pts, mask = batch["points"], batch["mask"]
         pred = m(pts, mask=mask)
-        return ppt.chamfer_distance(pred, pts, p_mask=mask, q_mask=mask)
+        loss = ppt.chamfer_distance(pred, pts, p_mask=mask, q_mask=mask)
+        if args.emd_weight:
+            # pred reconstructs pts row-for-row under the same mask, so
+            # the masked-EMD equal-valid-count contract holds per pair.
+            emd_d, _ = ppt.earth_mover_distance(
+                pred, pts, p_mask=mask, q_mask=mask)
+            loss = loss + args.emd_weight * jnp.mean(emd_d)
+        return loss
 
     ckpt = tempfile.mkdtemp(prefix="ppt_ckpt_")
     trainer = Trainer(model, optax.adam(2e-3), loss_fn, ckpt_dir=ckpt,
@@ -149,6 +166,9 @@ def main():
                 "steps": args.steps,
                 "batch": args.batch,
                 "dataset_clouds": len(ds),
+                "bf16": args.bf16,
+                "remat": args.remat,
+                "emd_weight": args.emd_weight,
                 "loss_curve": [
                     {"step": s, "loss": round(v, 6)} for s, v in curve
                 ],
