@@ -313,7 +313,7 @@ def _augment_kernel(ids_ref, px_ref, qx_ref, owner_in, price_in,
 
 
 def _residual_rounds(owner, price, p, q, eps, n, s_max=256, max_rounds=16,
-                     pop_cap=384):
+                     pop_cap=768):
     """Complete the assignment via JV augmenting paths (_augment_kernel).
 
     One kernel call resolves up to s_max stragglers per batch element;
@@ -496,7 +496,7 @@ def _hardness_hint(p, q, thresh: float = 0.04):
 )
 def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
                        phases: int = 1, scale: float = 6.0,
-                       pop_cap: int = 384, budgets: tuple = (),
+                       pop_cap: int = 768, budgets: tuple = (),
                        auto_budget: bool = True):
     """[B,N,3] x2 -> person->object assignment [B,N] int32 (permutation).
 
@@ -509,8 +509,9 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
     eps-complementary-slack (cost <= optimal + n*eps) whenever ``pop_cap``
     (Dijkstra scan budget per straggler) doesn't bind — not a greedy
     approximation.  Lower pop_cap trades assignment quality for endgame
-    time (384 -> +2.4% of optimal at B=32 N=2048 normal clouds; 256 ->
-    +7.4%).  The endgame cost is data-dependent: spatially correlated
+    time (768 -> +1.35% mean / 2.05% max, 384 -> +3.2%/5.0%, 256 ->
+    +7.4% of optimal at B=32 N=2048 normal clouds;
+    bench/probe_r4_emdq2.py).  The endgame cost is data-dependent: spatially correlated
     clouds (e.g. a model's early-training output vs its input) take ~2-3x
     the random-cloud time.  The greedy pass below survives only as a
     termination backstop for the residual round cap."""

@@ -200,7 +200,7 @@ def earth_mover_distance(
     max_iters: int = 15,
     phases: int = 3,
     impl: str = "auto",
-    endgame_pop_cap: int = 384,
+    endgame_pop_cap: int = 768,
     p_mask=None,
     q_mask=None,
 ):
@@ -212,8 +212,9 @@ def earth_mover_distance(
       eps: auction bid increment — smaller = closer to the optimal
         assignment but more iterations to converge.
       endgame_pop_cap: Dijkstra scan budget per straggler in the JV
-        endgame; lower = faster, less optimal (384 -> +2.4%, 256 -> +7.4%
-        of optimal at B=32 N=2048).  Endgame time is data-dependent:
+        endgame; lower = faster, less optimal (768 -> +1.35% mean / 2.05%
+        max, 384 -> +3.2%/5.0%, 256 -> +7.4% of optimal at B=32
+        N=2048 normal clouds; bench/probe_r4_emdq2.py).  Endgame time is data-dependent:
         spatially correlated clouds (a model's early-training output vs
         its input) cost ~2-3x random clouds.
       max_iters: per-phase auction iteration budget.  On the Pallas path,
