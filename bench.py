@@ -219,14 +219,19 @@ def main():
     opt_state = tx.init(params)
     x5 = jnp.asarray(rng.uniform(-1, 1, (16, 2048, 3)), jnp.float32)
 
+    # the canonical training surface: EMDLoss runs the auction at its
+    # documented training operating point (endgame_pop_cap=384)
+    from pytorch_points_tpu.losses import EMDLoss
+
+    emd_loss = EMDLoss()
+
     @jax.jit
     def train_step(params, opt_state, xyz):
         def loss_fn(params):
             m = nnx.merge(graphdef, params)
             pred = m(xyz)
             cd = ppt.chamfer_distance(pred, xyz)
-            emd, _ = ppt.earth_mover_distance(pred, xyz)
-            return cd + 0.1 * jnp.mean(emd)
+            return cd + 0.1 * emd_loss(pred, xyz)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
@@ -251,8 +256,7 @@ def main():
             m = nnx.merge(graphdef_bf, params)
             pred = m(xyz)
             cd = ppt.chamfer_distance(pred, xyz)
-            emd, _ = ppt.earth_mover_distance(pred, xyz)
-            return cd + 0.1 * jnp.mean(emd)
+            return cd + 0.1 * emd_loss(pred, xyz)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
@@ -266,16 +270,22 @@ def main():
     # costlier than random clouds and previously untracked for QUALITY).
     # >= 8-element Hungarian oracle with spread (round-2 verdict item 3).
     pred5 = nnx.merge(graphdef, params)(x5)
-    details["config4c_emd_correlated_B16_ms"] = round(
-        measure(f4, pred5, x5) * 1e3, 1
+    # measured at the TRAINING operating point (EMDLoss's
+    # endgame_pop_cap=384) — this config tracks what a train step pays
+    f4c = jax.jit(
+        lambda p, q: ppt.earth_mover_distance(p, q, endgame_pop_cap=384)[0]
     )
+    details["config4c_emd_correlated_B16_ms"] = round(
+        measure(f4c, pred5, x5) * 1e3, 1
+    )
+    details["config4c_pop_cap"] = 384
     try:
         from scipy.optimize import linear_sum_assignment
 
         nb_c = 8
         pa = np.asarray(pred5[:nb_c], np.float64)
         qa = np.asarray(x5[:nb_c], np.float64)
-        got_pp = np.asarray(f4(pred5[:nb_c], x5[:nb_c]), np.float64)  # [b, N]
+        got_pp = np.asarray(f4c(pred5[:nb_c], x5[:nb_c]), np.float64)  # [b, N]
         exc = []
         for bi in range(nb_c):
             d2 = ((pa[bi, :, None, :] - qa[bi, None, :, :]) ** 2).sum(-1)

@@ -79,17 +79,27 @@ class ChamferLoss:
 
 @dataclasses.dataclass(frozen=True)
 class EMDLoss:
-    """Auction-EMD loss (mean matched squared distance)."""
+    """Auction-EMD loss (mean matched squared distance).
+
+    Training operating point: ``endgame_pop_cap`` defaults to 384 here
+    (vs 768 on the raw op / metrics).  On the correlated pairs a train
+    step feeds the loss, 384 is already +0.1-0.2% of the Hungarian
+    optimum and ~20% faster per step; the op's 768 default buys
+    assignment fidelity that only matters when EMD is the *measurement*
+    (bench/probe_r4_emdq2.py + BASELINE.md ledger).
+    """
 
     eps: float = 0.005
     max_iters: int = 15
     phases: int = 3
+    endgame_pop_cap: int = 384
     reduction: str = "mean"
 
     def __call__(self, pred, gt, pred_mask=None, gt_mask=None):
         dist, _ = earth_mover_distance(
             pred, gt, eps=self.eps, max_iters=self.max_iters,
-            phases=self.phases, p_mask=pred_mask, q_mask=gt_mask,
+            phases=self.phases, endgame_pop_cap=self.endgame_pop_cap,
+            p_mask=pred_mask, q_mask=gt_mask,
         )
         if pred_mask is None:
             per = jnp.mean(dist, axis=-1)
