@@ -537,9 +537,9 @@ def auction_assignment(p, q, eps: float, max_iters: int, ti: int = 256,
     eps-complementary-slack (cost <= optimal + n*eps) whenever ``pop_cap``
     (Dijkstra scan budget per straggler) doesn't bind — not a greedy
     approximation.  Lower pop_cap trades assignment quality for endgame
-    time (768 -> +1.35% mean / 2.05% max, 384 -> +3.2%/5.0%, 256 ->
-    +7.4% of optimal at B=32 N=2048 normal clouds;
-    bench/probe_r4_emdq2.py).  The endgame cost is data-dependent: spatially correlated
+    time (warm-started, B=32 N=2048 normal clouds: 768 -> +0.93% mean /
+    1.52% max of optimal, 384 -> +2.15%/3.83%;
+    bench/probe_r4_emdq3.py).  The endgame cost is data-dependent: spatially correlated
     clouds (e.g. a model's early-training output vs its input) take ~2-3x
     the random-cloud time.  The greedy pass below survives only as a
     termination backstop for the residual round cap."""

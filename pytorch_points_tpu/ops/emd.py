@@ -212,9 +212,12 @@ def earth_mover_distance(
       eps: auction bid increment — smaller = closer to the optimal
         assignment but more iterations to converge.
       endgame_pop_cap: Dijkstra scan budget per straggler in the JV
-        endgame; lower = faster, less optimal (768 -> +1.35% mean / 2.05%
-        max, 384 -> +3.2%/5.0%, 256 -> +7.4% of optimal at B=32
-        N=2048 normal clouds; bench/probe_r4_emdq2.py).  Endgame time is data-dependent:
+        endgame; lower = faster, less optimal.  With the default
+        column-reduction warm start (B=32 N=2048 normal clouds,
+        bench/probe_r4_emdq3.py): 768 -> +0.93% mean / 1.52% max of
+        optimal at 63.6 ms, 384 -> +2.15%/3.83% at 50.1 ms; on
+        correlated train pairs (B=16): 768 -> +0.10% at 56.7 ms,
+        384 -> +0.19% at 45.8 ms.  Endgame time is data-dependent:
         spatially correlated clouds (a model's early-training output vs
         its input) cost ~2-3x random clouds.
       max_iters: per-phase auction iteration budget.  On the Pallas path,
@@ -229,9 +232,8 @@ def earth_mover_distance(
         (correctness path only).
 
         Measured on v5e at B=32 N=2048 (mean matched d^2 vs the Hungarian
-        optimum): standard normal clouds — defaults (15,3) ~55 ms at
-        ~+3%; (30,4) 95 ms at +1.7%.  Gaussian-mixture (clustered)
-        clouds — defaults ~120 ms at +0.3%; (20,3) 96 ms at +0.2%.
+        optimum, warm-started defaults): standard normal clouds ~64 ms at
+        +0.93%; gaussian-mixture (clustered) clouds ~218 ms at ~+0.1%.
         Round-1 defaults (greedy completion) were +63% on normal clouds —
         the JV endgame is what makes small budgets usable.
 
