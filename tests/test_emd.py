@@ -106,3 +106,45 @@ def test_auction_eps_cs_bound(rng):
         cost = d2[np.arange(n), a[b]].sum()
         assert sorted(a[b].tolist()) == list(range(n))  # permutation
         assert cost <= opt + n * eps + 1e-3, (cost, opt, opt + n * eps)
+
+
+def test_emd_operating_point_split():
+    """The documented operating-point split must not silently drift:
+    the raw op (and therefore the eval metrics) defaults to the
+    assignment-fidelity endgame cap, EMDLoss to the training cap
+    (bench/probe_r4_emdq3.py sets the numbers behind each)."""
+    import inspect
+
+    from pytorch_points_tpu.losses import EMDLoss
+
+    sig = inspect.signature(earth_mover_distance)
+    assert sig.parameters["endgame_pop_cap"].default == 768
+    assert EMDLoss().endgame_pop_cap == 384
+
+
+def test_emd_warm_start_quality_tiny(rng):
+    """Column-reduction warm start (default) must preserve the eps-CS
+    near-optimality contract; cold start stays available and agrees.
+    (Direct kernel call — interpret mode on CPU, compiled on TPU.)"""
+    from pytorch_points_tpu.kernels.auction import auction_assignment
+
+    from scipy.optimize import linear_sum_assignment
+
+    p = rng.standard_normal((3, 32, 3), dtype=np.float32)
+    q = rng.standard_normal((3, 32, 3), dtype=np.float32)
+    opt = []
+    for b in range(3):
+        d2 = ((p[b][:, None, :] - q[b][None, :, :]) ** 2).sum(-1)
+        r, c = linear_sum_assignment(d2)
+        opt.append(d2[r, c].sum())
+    opt = np.asarray(opt)
+    for warm in (True, False):
+        a = np.asarray(
+            auction_assignment(p, q, 0.0005, 2000, warm_start=warm)
+        )
+        for b in range(3):
+            assert sorted(a[b].tolist()) == list(range(32))
+        cost = np.stack(
+            [np.sum((p[b] - q[b][a[b]]) ** 2) for b in range(3)]
+        )
+        assert np.all(cost <= opt + 32 * 0.0005 + 1e-4), (warm, cost, opt)
