@@ -62,7 +62,10 @@ def main():
         l, g = jax.value_and_grad(loss)(pred)
         return l, g
 
-    t = measure(jax.jit(headline), pred, gt, iters=5)
+    # median of 7 five-call blocks (35 iterations): the round-4 graded
+    # capture (648.1) vs the builder's own (667.3) showed a ~3% single-
+    # block spread — wider than the gap to the 650 mark (VERDICT r4 item 2)
+    t = measure(jax.jit(headline), pred, gt, iters=5, repeats=7)
     clouds_per_sec = B / t
     # Telemetry (round-2 verdict item 5): which kernel served the call and
     # how full the pruned kernel's static worklist budget ran — a silent
@@ -101,7 +104,8 @@ def main():
 
         return jax.value_and_grad(loss)(pred)
 
-    tm_ = measure(jax.jit(headline_masked), pred, gt, pm, gm, iters=5)
+    tm_ = measure(jax.jit(headline_masked), pred, gt, pm, gm, iters=5,
+                  repeats=7)
     mstats = nn_sorted.worklist_stats_masked(pred, gt, pm, gm)
     details["headline_masked_fps_group_chamfer_B32_N16k_75pct"] = {
         "ms": round(tm_ * 1e3, 2),
@@ -311,6 +315,25 @@ def main():
         measure(f6, x2) * 1e3, 2
     )
     details["config6_knn_path"] = knn_path(x2, x2, 16)
+    # ring-kernel roofline telemetry (round-4 verdict item 3): chunk visit
+    # rate after the AABB skip + extraction rounds per visited chunk
+    from pytorch_points_tpu.kernels import topk_scan as _tks
+
+    _, _, st6 = _tks.knn_ring_stats(x2, x2, 16)
+    details["config6_ring_visit_rate"] = round(st6["visit_rate"], 4)
+    details["config6_ring_steps_per_visit"] = round(
+        st6["steps_per_visit"], 2
+    )
+
+    # Config 6m: the same kNN on 75%-valid masked clouds — round 4 routed
+    # masked supports to the in-order stream (~82 ms class); the masked
+    # ring kernel (valid-AABB Morton, scalar-prefetched centers) closes it.
+    m6 = jnp.zeros((16, N), bool).at[:, : int(N * 0.75)].set(True)
+    f6m = jax.jit(lambda x, m: knn(x, x, 16, support_mask=m))
+    details["config6m_knn_masked_75pct_ms"] = round(
+        measure(f6m, x2, m6) * 1e3, 2
+    )
+    details["config6m_knn_path"] = knn_path(x2, x2, 16, support_mask=m6)
 
     # --- Config 7: PointUpsampler (3PU lineage: DenseEdgeConv + kNN
     # grouping) train step, B=8 N=2048 -> 8192, chamfer loss -------------

@@ -133,20 +133,14 @@ def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi, dcur_ref,
         out_i_ref[0] = topi[:]
 
 
-def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
-                     topd, topi, dcur_ref, thr, *, tm, k_pad, unroll):
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _():
-        topd[:] = jnp.full_like(topd, _INF)
-        topi[:] = jnp.full_like(topi, jnp.int32(_IDX_RING))
-
-    sup = sup_ref[0]  # [tM, 8]: xyz + orig-id (channel 3, f32-exact)
-    qry = qry_ref[0]  # [8, tQ]
+def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
+                unroll):
+    """One support chunk of the ring scan: AABB skip test, distance plane,
+    increasing-threshold extraction.  ``stt`` is None in the hot kernel
+    (the counters are DCE'd away) and an [8, tQ] f32 scratch in the stats
+    twin, accumulating chunk visits at [0, 0] and extraction while-loop
+    trips at [1, 0] (x ``unroll`` = emission steps)."""
     tq = qry.shape[1]
-
     curmax0 = jnp.max(topd[:], axis=0, keepdims=True)  # [1, tQ]
 
     # AABB lower bound of the whole chunk vs each query; diff^2 arithmetic
@@ -231,12 +225,63 @@ def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
             more = step()
             return more, it + 1
 
-        jax.lax.while_loop(cond, body, (jnp.bool_(True), jnp.int32(0)))
+        final = jax.lax.while_loop(cond, body, (jnp.bool_(True), jnp.int32(0)))
+        if stt is not None:
+            r = jax.lax.broadcasted_iota(jnp.int32, stt.shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, stt.shape, 1)
+            at0 = jnp.logical_and(r == 0, c == 0)
+            at1 = jnp.logical_and(r == 1, c == 0)
+            stt[:] = (stt[:] + jnp.where(at0, 1.0, 0.0)
+                      + jnp.where(at1, final[1].astype(jnp.float32), 0.0))
+
+
+def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
+                     topd, topi, dcur_ref, thr, *, tm, k_pad, unroll):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        topd[:] = jnp.full_like(topd, _INF)
+        topi[:] = jnp.full_like(topi, jnp.int32(_IDX_RING))
+
+    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, thr, None,
+                tm=tm, k_pad=k_pad, unroll=unroll)
 
     @pl.when(j == nj - 1)
     def _():
         out_d_ref[0] = topd[:]
         out_i_ref[0] = topi[:]
+
+
+def _knn_ring_stats_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, out_s_ref,
+                           topd, topi, dcur_ref, thr, stt,
+                           *, tm, k_pad, unroll):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        topd[:] = jnp.full_like(topd, _INF)
+        topi[:] = jnp.full_like(topi, jnp.int32(_IDX_RING))
+        stt[:] = jnp.zeros_like(stt)
+
+    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, thr, stt,
+                tm=tm, k_pad=k_pad, unroll=unroll)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_d_ref[0] = topd[:]
+        out_i_ref[0] = topi[:]
+        out_s_ref[0] = stt[:]
+
+
+def _knn_ring_kernel_pf(cent_ref, qry_ref, sup_ref, out_d_ref, out_i_ref,
+                        topd, topi, dcur_ref, thr, *, tm, k_pad, unroll):
+    del cent_ref  # consumed by the index maps only
+    _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
+                     topd, topi, dcur_ref, thr,
+                     tm=tm, k_pad=k_pad, unroll=unroll)
 
 
 def _round_up(v, m):
@@ -353,16 +398,263 @@ def knn_ring(query, support, k: int, tq: int = 512, tm: int = 512,
     return d_out[..., :k], i_out[..., :k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "sorted_ok"))
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "unroll"))
+def _knn_ring_stats_call(query, support, k: int, tq: int = 512, tm: int = 512,
+                         unroll: int = 1):
+    """Telemetry twin of :func:`knn_ring` (same algorithm + counters):
+    returns (d, i, stats [B, nI, 2]) where stats[..., 0] = support chunks
+    VISITED by that query tile (of nJ total) and stats[..., 1] = extraction
+    while-loop trips (x ``unroll`` = emission steps).  Bench-only cost —
+    the counter accumulation adds ~2 plane ops per visited chunk."""
+    query = jnp.asarray(query, jnp.float32)
+    support = jnp.asarray(support, jnp.float32)
+    b, nq, _ = query.shape
+    ns = support.shape[1]
+    k_pad = _round_up(k, 8)
+
+    from pytorch_points_tpu.kernels import nn_sorted
+
+    ss, perm_s = nn_sorted.sort_by_morton(support)
+    qs, perm_q = nn_sorted.sort_by_morton(query)
+
+    q_pad = _round_up(nq, tq)
+    m_pad = _round_up(ns, tm)
+    qsp = jnp.pad(qs, ((0, 0), (0, q_pad - nq), (0, 0)), mode="edge")
+    padm = m_pad - ns
+    sup4 = jnp.concatenate(
+        [ss, perm_s[..., None].astype(jnp.float32)], axis=-1
+    )
+    if padm:
+        offs = -(BIG_COORD * 4.0 + 8.0 * jnp.arange(padm, dtype=jnp.float32))
+        pad = jnp.zeros((b, padm, 4), jnp.float32)
+        pad = pad.at[:, :, 0].set(offs[None, :])
+        pad = pad.at[:, :, 3].set(float(_IDX_RING))
+        sup4 = jnp.concatenate([sup4, pad], axis=1)
+
+    qry_t = jnp.transpose(jnp.pad(qsp, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    sup_s = jnp.pad(sup4, ((0, 0), (0, 0), (0, 4)))
+
+    ni, nj = q_pad // tq, m_pad // tm
+
+    def sup_index(bi, i, j):
+        center = ((i * tq + tq // 2) * nj) // q_pad
+        off = ((j + 1) // 2) * (2 * (j % 2) - 1)
+        return (bi, jax.lax.rem(center + off + nj, nj), 0)
+
+    grid = (b, ni, nj)
+    out_d, out_i, out_s = pl.pallas_call(
+        functools.partial(_knn_ring_stats_kernel, tm=tm, k_pad=k_pad,
+                          unroll=unroll),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, tq), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8), sup_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad, tq), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, tq), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tq), lambda bi, i, j: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_pad, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, q_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, q_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, tq), jnp.float32),
+            pltpu.VMEM((k_pad, tq), jnp.int32),
+            pltpu.VMEM((tm, tq), jnp.float32),
+            pltpu.VMEM((8, tq), jnp.float32),
+            pltpu.VMEM((8, tq), jnp.float32),   # stats counters
+        ],
+        interpret=interpret_mode(),
+    )(qry_t, sup_s)
+
+    # counters live at column 0 of each tile's [8, tQ] stats plane
+    stats = jnp.stack(
+        [out_s[:, 0, ::tq], out_s[:, 1, ::tq]], axis=-1
+    )  # [B, nI, 2]: (visits, while trips)
+    d = jnp.transpose(out_d[:, :, :nq], (0, 2, 1))
+    i = jnp.transpose(out_i[:, :, :nq], (0, 2, 1))
+    d_sorted, i_sorted = jax.lax.sort((d, i), dimension=2, num_keys=2)
+    inv = jnp.zeros_like(perm_q).at[
+        jnp.arange(b)[:, None], perm_q
+    ].set(jnp.broadcast_to(jnp.arange(nq)[None, :], (b, nq)))
+    d_out = jnp.take_along_axis(d_sorted, inv[..., None], axis=1)
+    i_out = jnp.take_along_axis(i_sorted, inv[..., None], axis=1)
+    return d_out[..., :k], i_out[..., :k], stats
+
+
+def knn_ring_stats(query, support, k: int, tq: int = 512, tm: int = 512,
+                   unroll: int = 1):
+    """Roofline telemetry for the ring kNN kernel (round-4 verdict item 3):
+    runs the stats twin and aggregates — visit_rate (fraction of
+    (query-tile, chunk) pairs scanned after the AABB skip) and
+    extraction trips per visited chunk.  Results verified identical to
+    :func:`knn_ring`; bench/probe use only."""
+    import numpy as np
+
+    d, i, stats = _knn_ring_stats_call(query, support, k, tq=tq, tm=tm,
+                                       unroll=unroll)
+    s = np.asarray(stats, np.float64)  # [B, nI, 2]
+    ns = support.shape[1]
+    nj = _round_up(ns, tm) // tm
+    visits = float(s[..., 0].sum())
+    trips = float(s[..., 1].sum())
+    tiles = float(s.shape[0] * s.shape[1])
+    return d, i, {
+        "visit_rate": visits / (tiles * nj),
+        "visits_per_tile": visits / tiles,
+        "chunks": nj,
+        "trips_per_visit": trips / max(visits, 1.0),
+        "steps_per_visit": trips * unroll / max(visits, 1.0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "unroll"))
+def knn_ring_masked(query, support, k: int, tq: int = 512, tm: int = 512,
+                    unroll: int = 1):
+    """Morton-ring kNN for POISONED support clouds
+    (``core.masking.poison_points`` applied by the wrapper; validity is
+    derived from the poison coordinate, |x0| < BIG_COORD — the
+    library-wide normalized-cloud envelope, same contract as
+    ``nn_sorted.nndistance_indexed_masked``).
+
+    Closes the round-4 gap where masked supports always paid the in-order
+    streaming scan: raw poison coordinates must not enter a Morton AABB
+    (they collapse every valid point into one cell), so this variant ports
+    the masked machinery from kernels/nn_sorted — valid points Morton-sort
+    over the VALID AABB with poison rows forced last
+    (``sort_by_morton_masked``), and each query tile's ring center is
+    scaled into the support's VALID chunk range through a scalar-prefetched
+    center table (the analog of the masked chamfer's dynamic band
+    centers).  Poison-only trailing chunks have far-away AABBs, so the
+    in-kernel lower-bound test skips them outright; the one mixed
+    valid/poison boundary chunk is scanned normally (poison rows lose
+    every distance comparison).  Queries are assumed clean — a poisoned
+    QUERY row only degrades its own ring-center heuristic, never
+    correctness, since the AABB skip is sound for any query coordinate.
+
+    Output is bitwise-identical to the streaming kernel on the same
+    poisoned cloud (ascending squared distance, lowest-index ties).
+    """
+    query = jnp.asarray(query, jnp.float32)
+    support = jnp.asarray(support, jnp.float32)
+    b, nq, _ = query.shape
+    ns = support.shape[1]
+    if k > ns:
+        raise ValueError(f"k={k} > support size {ns}")
+    if ns >= _IDX_RING:
+        raise ValueError(f"knn_ring_masked requires Ns < 2^24, got {ns}")
+    k_pad = _round_up(k, 8)
+
+    from pytorch_points_tpu.kernels import nn_sorted
+
+    valid = jnp.abs(support[..., 0]) < BIG_COORD
+    ss, perm_s, _ = nn_sorted.sort_by_morton_masked(support, valid)
+    qs, perm_q = nn_sorted.sort_by_morton(query)
+
+    q_pad = _round_up(nq, tq)
+    m_pad = _round_up(ns, tm)
+    qsp = jnp.pad(qs, ((0, 0), (0, q_pad - nq), (0, 0)), mode="edge")
+    padm = m_pad - ns
+    sup4 = jnp.concatenate(
+        [ss, perm_s[..., None].astype(jnp.float32)], axis=-1
+    )  # [B, Ns, 4]: coords + original index
+    if padm:
+        # pad offsets shifted past ns so they can never bitwise-tie a
+        # wrapper-poisoned row (poison_points uses BIG + 4*i, i < ns)
+        offs = -(BIG_COORD * 4.0
+                 + 8.0 * (ns + jnp.arange(padm, dtype=jnp.float32)))
+        pad = jnp.zeros((b, padm, 4), jnp.float32)
+        pad = pad.at[:, :, 0].set(offs[None, :])
+        pad = pad.at[:, :, 3].set(float(_IDX_RING))
+        sup4 = jnp.concatenate([sup4, pad], axis=1)
+
+    qry_t = jnp.transpose(jnp.pad(qsp, ((0, 0), (0, 0), (0, 5))), (0, 2, 1))
+    sup_s = jnp.pad(sup4, ((0, 0), (0, 0), (0, 4)))
+
+    ni, nj = q_pad // tq, m_pad // tm
+
+    # Ring centers: query tile i's Morton-proportional rank, scaled into
+    # the support's VALID chunk count (valid rows occupy the first
+    # ceil(vq/tm) chunks after the poison-last sort).
+    vq = jnp.sum(valid, axis=1).astype(jnp.int32)  # [B]
+    nvc = jnp.maximum((vq + tm - 1) // tm, 1)  # valid chunk count >= 1
+    i_arr = jnp.arange(ni, dtype=jnp.int32)
+    centers = jnp.clip(
+        ((i_arr[None, :] * tq + tq // 2) * nvc[:, None]) // q_pad,
+        0, nj - 1,
+    ).astype(jnp.int32)  # [B, nI]
+
+    def sup_index(bi, i, j, cent):
+        off = ((j + 1) // 2) * (2 * (j % 2) - 1)
+        return (bi, jax.lax.rem(cent[bi, i] + off + nj, nj), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 8, tq), lambda bi, i, j, cent: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 8), sup_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad, tq), lambda bi, i, j, cent: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, tq), lambda bi, i, j, cent: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, tq), jnp.float32),
+            pltpu.VMEM((k_pad, tq), jnp.int32),
+            pltpu.VMEM((tm, tq), jnp.float32),   # chunk distance plane
+            pltpu.VMEM((8, tq), jnp.float32),    # emission threshold (d, id)
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_knn_ring_kernel_pf, tm=tm, k_pad=k_pad,
+                          unroll=unroll),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_pad, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, q_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * b * q_pad * m_pad,
+            bytes_accessed=4 * b * (8 * q_pad + 8 * m_pad + 2 * k_pad * q_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(centers, qry_t, sup_s)
+
+    d = jnp.transpose(out_d[:, :, :nq], (0, 2, 1))  # sorted-query order
+    i = jnp.transpose(out_i[:, :, :nq], (0, 2, 1))
+    d_sorted, i_sorted = jax.lax.sort((d, i), dimension=2, num_keys=2)
+    inv = jnp.zeros_like(perm_q).at[
+        jnp.arange(b)[:, None], perm_q
+    ].set(jnp.broadcast_to(jnp.arange(nq)[None, :], (b, nq)))
+    d_out = jnp.take_along_axis(d_sorted, inv[..., None], axis=1)
+    i_out = jnp.take_along_axis(i_sorted, inv[..., None], axis=1)
+    return d_out[..., :k], i_out[..., :k]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tq", "tm", "sorted_ok", "masked"))
 def knn(query, support, k: int, tq: int | None = None, tm: int | None = None,
-        sorted_ok: bool = True):
+        sorted_ok: bool = True, masked: bool = False):
     """[B,Nq,3], [B,Ns,3] -> (dist [B,Nq,k] squared ascending, idx int32).
 
     Exact, sorted, lowest-index ties — identical to the XLA lax.top_k path.
-    Large unmasked supports dispatch to the Morton-ring kernel
-    (``knn_ring``, bitwise-identical output); pass ``sorted_ok=False`` for
-    clouds carrying poison padding (masked supports), whose coordinates
-    must not enter a Morton AABB.
+    Large supports dispatch to the Morton-ring kernel (``knn_ring``;
+    ``knn_ring_masked`` when ``masked=True`` marks the support as carrying
+    poison rows from ``core.masking.poison_points``, whose raw coordinates
+    must not enter a Morton AABB).  ``sorted_ok=False`` forces the in-order
+    streaming scan (the cross-check oracle for both ring kernels).
     """
     query = jnp.asarray(query, jnp.float32)
     support = jnp.asarray(support, jnp.float32)
@@ -372,6 +664,8 @@ def knn(query, support, k: int, tq: int | None = None, tm: int | None = None,
         raise ValueError(f"k={k} > support size {ns}")
     if (sorted_ok and tq is None and tm is None
             and ns >= RING_MIN_NS and ns < _IDX_RING):
+        if masked:
+            return knn_ring_masked(query, support, k)
         return knn_ring(query, support, k)
     k_pad = _round_up(k, 8)
 

@@ -87,6 +87,16 @@ class EMDLoss:
     optimum and ~20% faster per step; the op's 768 default buys
     assignment fidelity that only matters when EMD is the *measurement*
     (bench/probe_r4_emdq2.py + BASELINE.md ledger).
+
+    MEASURED WORST CASE of this default (round-4 sweep, 8-element
+    Hungarian oracle): on UNCORRELATED standard-normal cloud pairs —
+    unlike anything a converging model emits, but exactly what e.g. a
+    randomly-initialized generator's first steps look like — pop cap 384
+    measured **+3.2% mean / +5.03% max** over the optimum, i.e. the max
+    can exceed the library's 5% near-optimality bar.  If your training
+    pairs are near-random (or you use this class as a *metric*), pass
+    ``endgame_pop_cap=768``, which measured +1.35% / +2.05% on the same
+    clouds (bench/probe_r4_emdq3.py; PARITY.md semantics table).
     """
 
     eps: float = 0.005

@@ -35,32 +35,32 @@ def _knn_xla(query, support, k):
     return -neg_d, idx.astype(jnp.int32)
 
 
-def _knn_forward(query, support, k, impl, sorted_ok):
+def _knn_forward(query, support, k, impl, masked):
     resolved = dispatch.resolve(impl, "knn")
     with jax.named_scope("ppt.knn"):
         if resolved == "pallas":
             from pytorch_points_tpu.kernels import topk_scan
 
-            return topk_scan.knn(query, support, k, sorted_ok=sorted_ok)
+            return topk_scan.knn(query, support, k, masked=masked)
         return _knn_xla(query, support, k)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _knn_op(query, support, k, impl, sorted_ok):
+def _knn_op(query, support, k, impl, masked):
     # custom_vjp with the neighbor set locally constant: gradients flow
     # through the k squared distances to both clouds (the Pallas kernel
     # has no AD rule, and even the XLA path's top_k VJP would be a slower
     # route to the same thing).  kNN-graph losses (Laplacian, repulsion)
     # differentiate through this on TPU.
-    return _knn_forward(query, support, k, impl, sorted_ok)
+    return _knn_forward(query, support, k, impl, masked)
 
 
-def _knn_op_fwd(query, support, k, impl, sorted_ok):
-    dist, idx = _knn_forward(query, support, k, impl, sorted_ok)
+def _knn_op_fwd(query, support, k, impl, masked):
+    dist, idx = _knn_forward(query, support, k, impl, masked)
     return (dist, idx), (query, support, idx)
 
 
-def _knn_op_bwd(k, impl, sorted_ok, res, g):
+def _knn_op_bwd(k, impl, masked, res, g):
     from pytorch_points_tpu.ops.scatter_impl import scatter_add_auto
 
     query, support, idx = res
@@ -100,24 +100,25 @@ def knn(query, support, k: int, support_mask=None, impl: str = "auto"):
       treated as locally constant.
     """
     support_p = poison_points(support, support_mask, sign=-1.0)
-    # poison coordinates must not enter a Morton AABB (they collapse every
-    # valid point into one cell) — masked supports keep the in-order scan.
-    return _knn_op(query, support_p, k, impl, support_mask is None)
+    # masked supports ride the ring kernel too (round-4 verdict item 3):
+    # the masked variant sorts over the VALID AABB with poison forced last
+    # (raw poison coordinates must never enter a Morton AABB).
+    return _knn_op(query, support_p, k, impl, support_mask is not None)
 
 
 def knn_path(query, support, k: int, support_mask=None,
              impl: str = "auto") -> str:
     """Telemetry: which kernel serves a knn call with these arguments —
-    "ring" (Morton-sorted, AABB chunk skip), "stream" (in-order Pallas
-    scan) or "xla"."""
+    "ring" (Morton-sorted, AABB chunk skip), "ring_masked" (valid-AABB
+    sort, poison-last, scalar-prefetched ring centers), "stream" (in-order
+    Pallas scan) or "xla"."""
     from pytorch_points_tpu.kernels import topk_scan
 
     if dispatch.resolve(impl, "knn") != "pallas":
         return "xla"
     ns = jnp.asarray(support).shape[1]
-    if (support_mask is None and ns >= topk_scan.RING_MIN_NS
-            and ns < 2**24):
-        return "ring"
+    if ns >= topk_scan.RING_MIN_NS and ns < 2**24:
+        return "ring" if support_mask is None else "ring_masked"
     return "stream"
 
 

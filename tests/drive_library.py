@@ -125,6 +125,17 @@ if _big:
     assert np.array_equal(np.asarray(kd), np.asarray(sd))
     print("ring kNN bitwise vs streaming kernel at N=8192 ok")
 
+    # 4b4. round-5 surface: MASKED supports ride the ring kernel too
+    # (valid-AABB Morton sort, poison-last, scalar-prefetched centers).
+    assert knn_path(pL, pL, 16, support_mask=mL) == "ring_masked"
+    mkd, mki = knn_op(pL, pL, 16, support_mask=mL)
+    msd, msi = topk_scan.knn(pL, poison_points(pL, mL, -1.0), 16,
+                             sorted_ok=False)
+    assert np.array_equal(np.asarray(mki), np.asarray(msi))
+    assert np.array_equal(np.asarray(mkd), np.asarray(msd))
+    assert int(np.asarray(mki).max()) < 6000  # no poisoned row returned
+    print("masked ring kNN bitwise vs streaming kernel at N=8192 ok")
+
 # 4b2. round-3 surface: keyed on-device augmentation inside jit.
 from pytorch_points_tpu.data import augment
 

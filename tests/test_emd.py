@@ -120,6 +120,11 @@ def test_emd_operating_point_split():
     sig = inspect.signature(earth_mover_distance)
     assert sig.parameters["endgame_pop_cap"].default == 768
     assert EMDLoss().endgame_pop_cap == 384
+    # the trap must stay documented at the point of use (round-4 verdict
+    # item 6): the training default's measured worst case on uncorrelated
+    # clouds exceeds the 5% bar, and the docstring must say so.
+    doc = EMDLoss.__doc__
+    assert "+5.03% max" in doc and "endgame_pop_cap=768" in doc
 
 
 def test_emd_warm_start_quality_tiny(rng):

@@ -239,9 +239,24 @@ def test_knn_tie_eviction_across_chunks():
     np.testing.assert_allclose(np.asarray(d), od, rtol=1e-6)
 
 
+def test_knn_ring_stats_twin_identical(rng):
+    """The roofline stats twin runs the same algorithm with counters:
+    (d, i) bitwise vs knn_ring, visit counts within [1, nJ] per tile."""
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((2, 300, 3), dtype=np.float32)
+    s = rng.standard_normal((2, 1536, 3), dtype=np.float32)
+    d0, i0 = topk_scan.knn_ring(q, s, 8)
+    d1, i1, st = topk_scan.knn_ring_stats(q, s, 8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    assert 0.0 < st["visit_rate"] <= 1.0
+    assert st["trips_per_visit"] >= 1.0
+
+
 def test_knn_ring_dispatch_path():
     """ops.knn routes unmasked large supports to the ring kernel and
-    masked supports (poison coordinates) to the in-order scan."""
+    masked large supports to the masked ring kernel (valid-AABB sort)."""
     from pytorch_points_tpu.ops.grouping import knn_path
 
     q = jnp.zeros((1, 128, 3))
@@ -252,8 +267,34 @@ def test_knn_ring_dispatch_path():
     assert knn_path(q, s_small, 8) == ("stream" if on_tpu else "xla")
     mask = jnp.ones((1, 8192), bool)
     assert knn_path(q, s_big, 8, support_mask=mask) == (
-        "stream" if on_tpu else "xla"
+        "ring_masked" if on_tpu else "xla"
     )
+
+
+@pytest.mark.parametrize("b,nq,ns,k", [(2, 300, 1024, 5), (1, 257, 1536, 16)])
+def test_knn_ring_masked_matches_stream(rng, b, nq, ns, k):
+    """Masked ring kNN (valid-AABB Morton sort, poison-last,
+    scalar-prefetched ring centers) is bitwise-identical to the in-order
+    streaming kernel and the dense oracle on the same poisoned cloud —
+    ragged per-cloud valid counts, duplicate (tied) valid points included."""
+    from pytorch_points_tpu.core.masking import poison_points
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((b, nq, 3), dtype=np.float32)
+    s = rng.standard_normal((b, ns, 3), dtype=np.float32)
+    s[:, 100:110] = s[:, 0:10]  # duplicate ties among valid points
+    n_valid = np.array([int(ns * 0.7) - 13 * i for i in range(b)])
+    mask = np.arange(ns)[None, :] < n_valid[:, None]
+    sp = poison_points(jnp.asarray(s), jnp.asarray(mask), sign=-1.0)
+
+    d, i = topk_scan.knn_ring_masked(q, sp, k)
+    ds, js = topk_scan.knn(q, sp, k, sorted_ok=False)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(js))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(ds))
+    od, oi = oracles.knn(q, np.asarray(sp), k)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    # no poisoned row is ever returned (every cloud has >= k valid points)
+    assert bool(np.all(np.asarray(i) < n_valid[:, None, None]))
 
 
 @pytest.mark.skipif(
@@ -278,6 +319,33 @@ def test_knn_ring_bitwise_vs_stream_at_scale(rng):
     d2, i2 = jax.jit(lambda a: topk_scan.knn_ring(a, a, 16))(xs)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.skipif(
+    os.environ.get("PPT_TEST_TPU") != "1",
+    reason="hardware-scale exactness check; runs in the PPT_TEST_TPU=1 suite",
+)
+def test_knn_ring_masked_bitwise_vs_stream_at_scale(rng):
+    """Masked twin of the at-scale cross-check: ragged valid counts at the
+    graded config-6 shape, the masked ring kernel must agree bitwise with
+    the in-order streaming kernel on the same poisoned clouds."""
+    from pytorch_points_tpu.core.masking import poison_points
+    from pytorch_points_tpu.kernels import topk_scan
+
+    x = rng.uniform(-1, 1, (4, 16384, 3)).astype(np.float32)
+    x[:, 1000:1128] = x[:, :128]  # forced duplicate ties
+    n_valid = np.array([16384, 12288, 16384 * 3 // 4 - 77, 9001])
+    mask = np.arange(16384)[None, :] < n_valid[:, None]
+    xp = poison_points(jnp.asarray(x), jnp.asarray(mask), sign=-1.0)
+    d1, i1 = jax.jit(
+        lambda a, b: topk_scan.knn(a, b, 16, sorted_ok=False)
+    )(jnp.asarray(x), xp)
+    d2, i2 = jax.jit(
+        lambda a, b: topk_scan.knn_ring_masked(a, b, 16)
+    )(jnp.asarray(x), xp)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    assert bool(np.all(np.asarray(i2) < n_valid[:, None, None]))
 
 
 def test_gather_kernel_bitwise_exact(rng):
