@@ -61,6 +61,15 @@ def chamfer_l1(p, q, p_mask=None, q_mask=None):
     return m(d1, p_mask) + m(d2, q_mask)
 
 
+# Metric-level EMD operating point (round-5, bench/probe_r5_cov_mmd_cheap):
+# pop 384 preserves BOTH the COV and MMD generator rankings of the raw
+# op's pop-768 point exactly (MMD drift <= 1.24%) and cuts the graded
+# G=R=64 COV/MMD cost 7.75 s -> 6.2 s.  The cheaper phases=2/iters=12
+# ladder was REJECTED: it collapsed a COV gap between distinguishable
+# generators into a tie.  User-supplied emd_kwargs override these.
+_METRIC_EMD_DEFAULTS = {"endgame_pop_cap": 384}
+
+
 def _pair_dists_batched(lhs, rhs, ia, ib, metric: str, emd_kwargs,
                         pair_batch: int):
     """Cloud distances for index pairs (ia[k], ib[k]) into lhs/rhs: [P].
@@ -74,6 +83,9 @@ def _pair_dists_batched(lhs, rhs, ia, ib, metric: str, emd_kwargs,
     """
     import jax
 
+    if metric == "emd":
+        emd_kwargs = {**_METRIC_EMD_DEFAULTS, **(emd_kwargs or {})}
+
     p = ia.shape[0]
     pb = max(1, min(pair_batch, p))
     nchunk = -(-p // pb)
@@ -86,7 +98,7 @@ def _pair_dists_batched(lhs, rhs, ia, ib, metric: str, emd_kwargs,
         a = jnp.take(lhs, ic, axis=0)  # [pb, N, 3]
         b = jnp.take(rhs, jc, axis=0)
         if metric == "emd":
-            dist, _ = earth_mover_distance(a, b, **(emd_kwargs or {}))
+            dist, _ = earth_mover_distance(a, b, **emd_kwargs)
             return jnp.mean(dist, axis=-1)
         d1, _, d2, _ = nndistance(a, b)
         return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
@@ -147,6 +159,11 @@ def coverage_and_mmd(generated, reference_set, *, metric: str = "chamfer",
       reference clouds that are some generated cloud's nearest neighbor;
       MMD = mean over reference clouds of the distance to their closest
       generated cloud.
+
+    With ``metric="emd"`` the pair solves default to the metric operating
+    point ``endgame_pop_cap=384`` (ranking-identical to the raw op's 768
+    at ~20% less cost — see ``_METRIC_EMD_DEFAULTS``); pass
+    ``emd_kwargs={"endgame_pop_cap": 768}`` to force raw-op fidelity.
     """
     g, r = generated.shape[0], reference_set.shape[0]
 
