@@ -23,15 +23,19 @@ Two kernels share that buffer design:
   ring order around each query tile's Morton-proportional center chunk so
   the k-th-best bound tightens as fast as possible, an AABB lower-bound
   test that skips far chunks outright (same diff^2 bound arithmetic as
-  kernels/nn_sorted — matmul-form bounds are UNSOUND, see CLAUDE.md), and
-  increasing-threshold extraction: per query column, candidates are
-  emitted in ascending lexicographic (d, id) order against a carried
-  threshold, so the distance plane is computed once per chunk and then
-  READ-ONLY.  Buffer curmax decreases monotonically per column while the
-  emission sequence increases, so "last step inserted nothing anywhere"
-  is a correct loop exit.  Measured at B=16 N=16k k=16 on v5e: 70.6 ms vs
-  80.9 for the in-order scan (bench/probe_r4_knn4.py; larger/smaller
-  chunk sizes and >1x unroll all measured worse).
+  kernels/nn_sorted — matmul-form bounds are UNSOUND, see CLAUDE.md),
+  knockout extraction (see ``_ring_chunk``), and a barren-chunk pre-exit.
+  Measured at the graded B=16 N=16k k=16 shape on v5e: ring order beat
+  the in-order scan 70.6 vs 80.9 ms (round 4, bench/probe_r4_knn4.py;
+  larger/smaller chunk sizes and >1x unroll all measured worse), and the
+  round-5 knockout extraction beat round 4's read-only
+  increasing-threshold emission 58.7 vs 71.4 ms
+  (bench/probe_r5_knn_ko.py) — extraction dominates the kernel
+  (BASELINE.md roofline), so the per-step plane-pass count is what
+  matters; per-column bound tightening does NOT help because both the
+  visit test and the trip count reduce over the tile's 512 query
+  columns (seeding the buffer with Morton-window neighbors moved
+  neither: bench/probe_r5_knn_seed.py, a measured negative).
 
 Tie-breaking matches lax.top_k / the oracle: equal distances resolve to
 the lowest support index (verified bitwise vs the dense oracle including
@@ -133,13 +137,20 @@ def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi, dcur_ref,
         out_i_ref[0] = topi[:]
 
 
-def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
+def _ring_chunk(sup, qry, topd, topi, dcur_ref, stt, *, tm, k_pad,
                 unroll):
     """One support chunk of the ring scan: AABB skip test, distance plane,
-    increasing-threshold extraction.  ``stt`` is None in the hot kernel
-    (the counters are DCE'd away) and an [8, tQ] f32 scratch in the stats
-    twin, accumulating chunk visits at [0, 0] and extraction while-loop
-    trips at [1, 0] (x ``unroll`` = emission steps)."""
+    KNOCKOUT extraction — per step take the plane's per-column min,
+    insert it wherever it improves the buffer, then rewrite the extracted
+    candidate's rows to inf (round 5; the round-4 read-only
+    increasing-threshold emission paid a 2-plane (d, id) lex compare per
+    step and measured 71.4 vs 58.7 ms at the graded config-6 shape —
+    bench/probe_r5_knn_ko.py, bitwise-identical outputs).  A barren-chunk
+    pre-exit skips the loop when the plane's min cannot beat (or tie) the
+    entry bound.  ``stt`` is None in the hot kernel (the counters are
+    DCE'd away) and an [8, tQ] f32 scratch in the stats twin,
+    accumulating chunk visits at [0, 0] and extraction while-loop trips
+    at [1, 0] (x ``unroll`` = emission steps)."""
     tq = qry.shape[1]
     curmax0 = jnp.max(topd[:], axis=0, keepdims=True)  # [1, tQ]
 
@@ -164,33 +175,19 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
             d = d + diff * diff
         dcur_ref[:] = d
         ids = jnp.broadcast_to(sup[:, 3:4], (tm, tq)).astype(jnp.int32)
-
-        # emission threshold = last emitted (d, id); d >= 0 so -1 precedes
-        # everything.  The id plane rides as f32 (ids < 2^24, exact).
-        thr[0:1] = jnp.full((1, tq), -1.0, jnp.float32)
-        thr[1:2] = jnp.full((1, tq), -1.0, jnp.float32)
-
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tq), 0)
-        idf = ids.astype(jnp.float32)
 
         def step():
-            """Emit each column's next candidate in (d, id) lex order;
-            insert wherever it improves the buffer.  Exhausted columns
-            emit (inf, sentinel) and fail the insert test (idempotent)."""
+            """Extract each column's plane minimum (lowest id on ties),
+            insert wherever it improves the buffer, knock it out of the
+            plane.  Exhausted columns yield (inf, sentinel) and fail the
+            insert test (idempotent)."""
             dcur = dcur_ref[:]
-            td = thr[0:1]
-            ti = thr[1:2]
-            gt = jnp.logical_or(
-                dcur > td, jnp.logical_and(dcur == td, idf > ti)
-            )
-            dm = jnp.where(gt, dcur, _INF)
-            m = jnp.min(dm, axis=0, keepdims=True)  # [1, tQ]
+            m = jnp.min(dcur, axis=0, keepdims=True)  # [1, tQ]
             a = jnp.min(
-                jnp.where(dm == m, ids, jnp.int32(_IDX_RING)),
+                jnp.where(dcur == m, ids, jnp.int32(_IDX_RING)),
                 axis=0, keepdims=True,
             )
-            thr[0:1] = m
-            thr[1:2] = a.astype(jnp.float32)
             curmax = jnp.max(topd[:], axis=0, keepdims=True)
             widx = jnp.max(
                 jnp.where(topd[:] == curmax, topi[:], jnp.int32(-1)),
@@ -210,6 +207,13 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
             hot = jnp.logical_and(row_iota == wrow, improve)
             topd[:] = jnp.where(hot, jnp.broadcast_to(m, topd.shape), topd[:])
             topi[:] = jnp.where(hot, jnp.broadcast_to(a, topi.shape), topi[:])
+            # knock the extracted candidate out of the plane (pad rows
+            # share the sentinel id and are knocked out together — they
+            # can never displace a real row, so that is harmless)
+            dcur_ref[:] = jnp.where(
+                jnp.logical_and(ids == jnp.broadcast_to(a, ids.shape),
+                                jnp.broadcast_to(improve, ids.shape)),
+                _INF, dcur)
             return jnp.any(improve)
 
         def cond(state):
@@ -219,13 +223,17 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
             _, it = state
             for _u in range(unroll - 1):
                 step()
-            # emission is per-column monotone increasing while the buffer
-            # max is monotone decreasing: the LAST sub-step's verdict alone
-            # is a correct exit test.
+            # the plane min increases monotonically under knockout while
+            # the buffer max is monotone decreasing: the LAST sub-step's
+            # verdict alone is a correct exit test.
             more = step()
             return more, it + 1
 
-        final = jax.lax.while_loop(cond, body, (jnp.bool_(True), jnp.int32(0)))
+        # barren-chunk pre-exit: if the plane min cannot beat OR TIE the
+        # entry bound anywhere, no candidate can insert (the bound only
+        # shrinks) — skip the ~7-plane-pass first step outright.
+        enter = jnp.any(jnp.min(d, axis=0) <= curmax0[0])
+        final = jax.lax.while_loop(cond, body, (enter, jnp.int32(0)))
         if stt is not None:
             r = jax.lax.broadcasted_iota(jnp.int32, stt.shape, 0)
             c = jax.lax.broadcasted_iota(jnp.int32, stt.shape, 1)
@@ -236,7 +244,7 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, thr, stt, *, tm, k_pad,
 
 
 def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
-                     topd, topi, dcur_ref, thr, *, tm, k_pad, unroll):
+                     topd, topi, dcur_ref, *, tm, k_pad, unroll):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -245,7 +253,7 @@ def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
         topd[:] = jnp.full_like(topd, _INF)
         topi[:] = jnp.full_like(topi, jnp.int32(_IDX_RING))
 
-    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, thr, None,
+    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, None,
                 tm=tm, k_pad=k_pad, unroll=unroll)
 
     @pl.when(j == nj - 1)
@@ -255,7 +263,7 @@ def _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
 
 
 def _knn_ring_stats_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, out_s_ref,
-                           topd, topi, dcur_ref, thr, stt,
+                           topd, topi, dcur_ref, stt,
                            *, tm, k_pad, unroll):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -266,7 +274,7 @@ def _knn_ring_stats_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, out_s_ref,
         topi[:] = jnp.full_like(topi, jnp.int32(_IDX_RING))
         stt[:] = jnp.zeros_like(stt)
 
-    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, thr, stt,
+    _ring_chunk(sup_ref[0], qry_ref[0], topd, topi, dcur_ref, stt,
                 tm=tm, k_pad=k_pad, unroll=unroll)
 
     @pl.when(j == nj - 1)
@@ -277,10 +285,10 @@ def _knn_ring_stats_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, out_s_ref,
 
 
 def _knn_ring_kernel_pf(cent_ref, qry_ref, sup_ref, out_d_ref, out_i_ref,
-                        topd, topi, dcur_ref, thr, *, tm, k_pad, unroll):
+                        topd, topi, dcur_ref, *, tm, k_pad, unroll):
     del cent_ref  # consumed by the index maps only
     _knn_ring_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref,
-                     topd, topi, dcur_ref, thr,
+                     topd, topi, dcur_ref,
                      tm=tm, k_pad=k_pad, unroll=unroll)
 
 
@@ -376,7 +384,6 @@ def knn_ring(query, support, k: int, tq: int = 512, tm: int = 512,
             pltpu.VMEM((k_pad, tq), jnp.float32),
             pltpu.VMEM((k_pad, tq), jnp.int32),
             pltpu.VMEM((tm, tq), jnp.float32),   # chunk distance plane
-            pltpu.VMEM((8, tq), jnp.float32),    # emission threshold (d, id)
         ],
         cost_estimate=pl.CostEstimate(
             flops=30 * b * q_pad * m_pad,
@@ -468,7 +475,6 @@ def _knn_ring_stats_call(query, support, k: int, tq: int = 512, tm: int = 512,
             pltpu.VMEM((k_pad, tq), jnp.float32),
             pltpu.VMEM((k_pad, tq), jnp.int32),
             pltpu.VMEM((tm, tq), jnp.float32),
-            pltpu.VMEM((8, tq), jnp.float32),
             pltpu.VMEM((8, tq), jnp.float32),   # stats counters
         ],
         interpret=interpret_mode(),
@@ -613,7 +619,6 @@ def knn_ring_masked(query, support, k: int, tq: int = 512, tm: int = 512,
             pltpu.VMEM((k_pad, tq), jnp.float32),
             pltpu.VMEM((k_pad, tq), jnp.int32),
             pltpu.VMEM((tm, tq), jnp.float32),   # chunk distance plane
-            pltpu.VMEM((8, tq), jnp.float32),    # emission threshold (d, id)
         ],
     )
     out_d, out_i = pl.pallas_call(
