@@ -146,6 +146,23 @@ def main():
                     insert(m1, a1)
                     improve2 = insert(m2, a2)
                     return jnp.any(improve2), it + 1
+            elif form == "x3":
+                def body(state):
+                    _, it = state
+                    dcur = dcur_ref[:]
+                    m1, a1 = extract(dcur)
+                    d2 = jnp.where(
+                        ids == jnp.broadcast_to(a1, ids.shape), _INF, dcur)
+                    m2, a2 = extract(d2)
+                    d3 = jnp.where(
+                        ids == jnp.broadcast_to(a2, ids.shape), _INF, d2)
+                    m3, a3 = extract(d3)
+                    dcur_ref[:] = jnp.where(
+                        ids == jnp.broadcast_to(a3, ids.shape), _INF, d3)
+                    insert(m1, a1)
+                    insert(m2, a2)
+                    improve3 = insert(m3, a3)
+                    return jnp.any(improve3), it + 1
             else:
                 raise ValueError(form)
 
@@ -252,15 +269,18 @@ def main():
     print(f"library knockout (cond, unroll=1): {t_lib*1e3:8.2f} ms",
           flush=True)
 
-    for form in ("uncond", "x2"):
-        f_v = jax.jit(lambda a, form=form: knn_ring_v(a, a, K, form=form))
+    for form, tq, tm in (("uncond", 512, 512), ("x2", 512, 512),
+                         ("x3", 512, 512), ("x2", 512, 1024),
+                         ("x2", 512, 256), ("x2", 1024, 512)):
+        f_v = jax.jit(lambda a, form=form, tq=tq, tm=tm: knn_ring_v(
+            a, a, K, tq=tq, tm=tm, form=form))
         d1, i1 = f_v(x)
         dt1, it1 = f_v(xt)
         ok = (bool(jnp.all(i0 == i1)) and bool(jnp.all(d0 == d1))
               and bool(jnp.all(it0 == it1)) and bool(jnp.all(dt0 == dt1)))
         t_v = measure(f_v, x, repeats=3)
-        print(f"variant {form:8s}: {t_v*1e3:8.2f} ms  bitwise={ok}",
-              flush=True)
+        print(f"variant {form:8s} tq={tq:4d} tm={tm:4d}: {t_v*1e3:8.2f} ms"
+              f"  bitwise={ok}", flush=True)
 
     for u in (2, 4):
         f_u = jax.jit(lambda a, u=u: topk_scan.knn_ring(a, a, K, unroll=u))

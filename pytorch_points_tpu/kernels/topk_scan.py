@@ -27,10 +27,12 @@ Two kernels share that buffer design:
   knockout extraction (see ``_ring_chunk``), and a barren-chunk pre-exit.
   Measured at the graded B=16 N=16k k=16 shape on v5e: ring order beat
   the in-order scan 70.6 vs 80.9 ms (round 4, bench/probe_r4_knn4.py;
-  larger/smaller chunk sizes and >1x unroll all measured worse), and the
-  round-5 knockout extraction beat round 4's read-only
-  increasing-threshold emission 58.7 vs 71.4 ms
-  (bench/probe_r5_knn_ko.py) — extraction dominates the kernel
+  larger/smaller chunk sizes and >1x unroll of the THRESHOLD form all
+  measured worse), the round-5 knockout extraction beat round 4's
+  read-only increasing-threshold emission 58.7 vs 71.4 ms
+  (bench/probe_r5_knn_ko.py), and the fused x2 knockout chain
+  (``unroll=2`` default) beat single extraction 54.1 vs 58.3 ms
+  (bench/probe_r5_knn_ko2.py) — extraction dominates the kernel
   (BASELINE.md roofline), so the per-step plane-pass count is what
   matters; per-column bound tightening does NOT help because both the
   visit test and the trip count reduce over the tile's 512 query
@@ -140,17 +142,33 @@ def _knn_kernel(qry_ref, sup_ref, out_d_ref, out_i_ref, topd, topi, dcur_ref,
 def _ring_chunk(sup, qry, topd, topi, dcur_ref, stt, *, tm, k_pad,
                 unroll):
     """One support chunk of the ring scan: AABB skip test, distance plane,
-    KNOCKOUT extraction — per step take the plane's per-column min,
-    insert it wherever it improves the buffer, then rewrite the extracted
-    candidate's rows to inf (round 5; the round-4 read-only
-    increasing-threshold emission paid a 2-plane (d, id) lex compare per
-    step and measured 71.4 vs 58.7 ms at the graded config-6 shape —
-    bench/probe_r5_knn_ko.py, bitwise-identical outputs).  A barren-chunk
-    pre-exit skips the loop when the plane's min cannot beat (or tie) the
-    entry bound.  ``stt`` is None in the hot kernel (the counters are
-    DCE'd away) and an [8, tQ] f32 scratch in the stats twin,
-    accumulating chunk visits at [0, 0] and extraction while-loop trips
-    at [1, 0] (x ``unroll`` = emission steps)."""
+    FUSED KNOCKOUT extraction — per while iteration, ``unroll``
+    extractions chain through a register-resident plane (each takes the
+    plane's per-column min, lowest id on ties, and knocks the extracted
+    row out of the in-register copy), then ONE scratch write commits the
+    chain and the candidates are inserted into the buffer in extraction
+    order.  Round-5 measurements at the graded config-6 shape
+    (bench/probe_r5_knn_ko{,2}.py, all bitwise-identical): knockout beat
+    the round-4 read-only increasing-threshold emission 58.7 vs 71.4 ms,
+    and the fused x2 chain beat the one-extraction loop 54.1 vs 58.3 ms
+    (half the while-loop trips, one plane write per trip instead of two;
+    x3 is 54.8 — the wasted-extraction cost catches up).
+
+    The knockouts are UNCONDITIONAL (no ``improve`` mask on the plane
+    rewrite): per column, the insert verdict is monotone-false over the
+    loop — the plane min only increases under knockout, the buffer max
+    only decreases, and on curmax-ties the max tied id only decreases —
+    so a candidate rejected now is rejected forever and removing it
+    loses nothing.  Exhausted columns extract (inf, sentinel), fail the
+    insert test, and knock inf rows to inf (idempotent).  For the same
+    monotonicity reason the LAST extraction's verdict alone is a correct
+    exit test.
+
+    A barren-chunk pre-exit skips the loop when the plane's min cannot
+    beat (or tie) the entry bound.  ``stt`` is None in the hot kernel
+    (the counters are DCE'd away) and an [8, tQ] f32 scratch in the
+    stats twin, accumulating chunk visits at [0, 0] and extraction
+    while-loop trips at [1, 0] (x ``unroll`` = emission steps)."""
     tq = qry.shape[1]
     curmax0 = jnp.max(topd[:], axis=0, keepdims=True)  # [1, tQ]
 
@@ -177,17 +195,22 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, stt, *, tm, k_pad,
         ids = jnp.broadcast_to(sup[:, 3:4], (tm, tq)).astype(jnp.int32)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tq), 0)
 
-        def step():
-            """Extract each column's plane minimum (lowest id on ties),
-            insert wherever it improves the buffer, knock it out of the
-            plane.  Exhausted columns yield (inf, sentinel) and fail the
-            insert test (idempotent)."""
-            dcur = dcur_ref[:]
-            m = jnp.min(dcur, axis=0, keepdims=True)  # [1, tQ]
+        def extract(plane):
+            """Per-column plane minimum, lowest id on ties."""
+            m = jnp.min(plane, axis=0, keepdims=True)  # [1, tQ]
             a = jnp.min(
-                jnp.where(dcur == m, ids, jnp.int32(_IDX_RING)),
+                jnp.where(plane == m, ids, jnp.int32(_IDX_RING)),
                 axis=0, keepdims=True,
             )
+            return m, a
+
+        def insert(m, a):
+            """Insert (m, a) wherever it improves the buffer; on
+            curmax-ties evict the HIGHEST-id tied row (evicting by row
+            position kept the wrong member of an equal-distance pair
+            whenever a tie straddled the k boundary under later-chunk
+            eviction pressure — caught by the ring/stream cross-check at
+            bench scale, round 4)."""
             curmax = jnp.max(topd[:], axis=0, keepdims=True)
             widx = jnp.max(
                 jnp.where(topd[:] == curmax, topi[:], jnp.int32(-1)),
@@ -205,29 +228,28 @@ def _ring_chunk(sup, qry, topd, topi, dcur_ref, stt, *, tm, k_pad,
                 axis=0, keepdims=True,
             )
             hot = jnp.logical_and(row_iota == wrow, improve)
-            topd[:] = jnp.where(hot, jnp.broadcast_to(m, topd.shape), topd[:])
-            topi[:] = jnp.where(hot, jnp.broadcast_to(a, topi.shape), topi[:])
-            # knock the extracted candidate out of the plane (pad rows
-            # share the sentinel id and are knocked out together — they
-            # can never displace a real row, so that is harmless)
-            dcur_ref[:] = jnp.where(
-                jnp.logical_and(ids == jnp.broadcast_to(a, ids.shape),
-                                jnp.broadcast_to(improve, ids.shape)),
-                _INF, dcur)
-            return jnp.any(improve)
+            topd[:] = jnp.where(hot, jnp.broadcast_to(m, topd.shape),
+                                topd[:])
+            topi[:] = jnp.where(hot, jnp.broadcast_to(a, topi.shape),
+                                topi[:])
+            return improve
 
         def cond(state):
             return state[0]
 
         def body(state):
             _, it = state
-            for _u in range(unroll - 1):
-                step()
-            # the plane min increases monotonically under knockout while
-            # the buffer max is monotone decreasing: the LAST sub-step's
-            # verdict alone is a correct exit test.
-            more = step()
-            return more, it + 1
+            plane = dcur_ref[:]
+            cands = []
+            for _u in range(unroll):
+                m, a = extract(plane)
+                plane = jnp.where(
+                    ids == jnp.broadcast_to(a, ids.shape), _INF, plane)
+                cands.append((m, a))
+            dcur_ref[:] = plane
+            for m, a in cands:
+                more = insert(m, a)
+            return jnp.any(more), it + 1
 
         # barren-chunk pre-exit: if the plane min cannot beat OR TIE the
         # entry bound anywhere, no candidate can insert (the bound only
@@ -308,7 +330,7 @@ def _pad_points_poison(x, target_n, sign=1.0):
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "unroll"))
 def knn_ring(query, support, k: int, tq: int = 512, tm: int = 512,
-             unroll: int = 1):
+             unroll: int = 2):
     """Morton-ring kNN: [B,Nq,3], [B,Ns,3] -> (dist [B,Nq,k], idx int32).
 
     Bitwise-identical output to ``knn`` (ascending squared distance,
@@ -407,7 +429,7 @@ def knn_ring(query, support, k: int, tq: int = 512, tm: int = 512,
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "unroll"))
 def _knn_ring_stats_call(query, support, k: int, tq: int = 512, tm: int = 512,
-                         unroll: int = 1):
+                         unroll: int = 2):
     """Telemetry twin of :func:`knn_ring` (same algorithm + counters):
     returns (d, i, stats [B, nI, 2]) where stats[..., 0] = support chunks
     VISITED by that query tile (of nJ total) and stats[..., 1] = extraction
@@ -496,7 +518,7 @@ def _knn_ring_stats_call(query, support, k: int, tq: int = 512, tm: int = 512,
 
 
 def knn_ring_stats(query, support, k: int, tq: int = 512, tm: int = 512,
-                   unroll: int = 1):
+                   unroll: int = 2):
     """Roofline telemetry for the ring kNN kernel (round-4 verdict item 3):
     runs the stats twin and aggregates — visit_rate (fraction of
     (query-tile, chunk) pairs scanned after the AABB skip) and
@@ -523,7 +545,7 @@ def knn_ring_stats(query, support, k: int, tq: int = 512, tm: int = 512,
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "unroll"))
 def knn_ring_masked(query, support, k: int, tq: int = 512, tm: int = 512,
-                    unroll: int = 1):
+                    unroll: int = 2):
     """Morton-ring kNN for POISONED support clouds
     (``core.masking.poison_points`` applied by the wrapper; validity is
     derived from the poison coordinate, |x0| < BIG_COORD — the
