@@ -239,6 +239,26 @@ def test_knn_tie_eviction_across_chunks():
     np.testing.assert_allclose(np.asarray(d), od, rtol=1e-6)
 
 
+def test_knn_ring_fused_unroll_invariant(rng):
+    """The round-5 fused knockout chain must be extraction-count
+    invariant: unroll=1/2/3 (extractions per while iteration, chained
+    through a register-resident plane with unconditional knockouts)
+    give bitwise-identical results on tie-dense clouds — pins the
+    monotone-verdict argument (a rejected candidate is rejected
+    forever, so unconditional knockout + last-verdict exit lose
+    nothing) and the in-order insert of same-iteration tied pairs."""
+    from pytorch_points_tpu.kernels import topk_scan
+
+    q = rng.standard_normal((2, 256, 3), dtype=np.float32)
+    base = rng.standard_normal((2, 512, 3), dtype=np.float32)
+    s = np.concatenate([base, base, base], axis=1)  # 3-way ties everywhere
+    ds, js = topk_scan.knn(q, s, 8, sorted_ok=False)
+    for u in (1, 2, 3):
+        d, i = topk_scan.knn_ring(q, s, 8, unroll=u)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(js))
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(ds))
+
+
 def test_knn_ring_stats_twin_identical(rng):
     """The roofline stats twin runs the same algorithm with counters:
     (d, i) bitwise vs knn_ring, visit counts within [1, nJ] per tile."""
