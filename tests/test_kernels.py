@@ -257,6 +257,16 @@ def test_knn_ring_fused_unroll_invariant(rng):
         d, i = topk_scan.knn_ring(q, s, 8, unroll=u)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(js))
         np.testing.assert_array_equal(np.asarray(d), np.asarray(ds))
+    # masked twin: poisoned support, ragged valid counts, same invariance
+    from pytorch_points_tpu.core.masking import poison_points
+
+    mask = np.arange(s.shape[1])[None, :] < np.array([[1200], [997]])
+    sp = poison_points(jnp.asarray(s), jnp.asarray(mask), sign=-1.0)
+    dsm, jsm = topk_scan.knn(q, sp, 8, sorted_ok=False)
+    for u in (1, 2):
+        d, i = topk_scan.knn_ring_masked(q, sp, 8, unroll=u)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(jsm))
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dsm))
 
 
 def test_knn_ring_stats_twin_identical(rng):
